@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship near-duplicate clustering pipeline on the
+sf0.001 ``documents`` table.  ``queries()`` exposes one callable per
+implemented operator (SURVEY.md §2); ``oracle_sql()`` gives the DuckDB-
+runnable ANSI SQL twin for every SQL-expressible one.  All hash arithmetic is
+integer-only and pinned (config.py), so Spark and DuckDB compute
+bit-identical signatures.
 """
 
 from __future__ import annotations
@@ -12,27 +13,112 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dedup_gpu_stream_parallelism_spark.config import DedupConfig
+from dedup_gpu_stream_parallelism_spark.operators import chunk as chunk_op
+from dedup_gpu_stream_parallelism_spark.operators import exact as exact_op
+from dedup_gpu_stream_parallelism_spark.plans.pipeline import run_pipeline
+
+CFG = DedupConfig()
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full near-dup detection + clustering over sf0.001 documents."""
+    docs = _docs(spark, "/root/testdata/sf0.001")
+    res = run_pipeline(docs, CFG, id_col="doc_id", text_col="text")
+    return res.clusters
+
+
+# --------------------------------------------------------------------------
+# queries: (spark, sf_dir) -> DataFrame.  Column names/aliases match the
+# oracle SQL exactly (driver sorts columns by name before hashing).
+# --------------------------------------------------------------------------
+
+
+def q_exact_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_op.exact_dup_clusters(_docs(spark, sf_dir), "doc_id", "text").orderBy(
+        "doc_id"
+    )
+
+
+def q_dedup_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_op.dedup_manifest(_docs(spark, sf_dir), "doc_id", "text").orderBy(
+        "doc_id"
+    )
+
+
+def q_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_op.dedup_stats(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def q_cdc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    chunks = chunk_op.chunk_documents(_docs(spark, sf_dir), CFG, "doc_id", "text")
+    return chunk_op.chunk_dedup_stats(chunks)
+
+
+def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    res = run_pipeline(docs, CFG, id_col="doc_id", text_col="text")
+    return res.clusters.orderBy("doc_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "exact_dup_clusters": q_exact_dup_clusters,
+        "dedup_manifest": q_dedup_manifest,
+        "dedup_stats": q_dedup_stats,
+        "cdc_chunk_stats": q_cdc_chunk_stats,
+        # no oracle entry (iterative CC + suffix-array confirm): rows-only
+        "near_dup_clusters": q_near_dup_clusters,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "exact_dup_clusters": """
+            WITH h AS (
+              SELECT doc_id, sha256(text) AS sha256 FROM documents
+            )
+            SELECT doc_id, sha256,
+                   MIN(doc_id) OVER (PARTITION BY sha256) AS cluster_id,
+                   CAST(doc_id <> MIN(doc_id) OVER (PARTITION BY sha256) AS INT)
+                     AS is_duplicate
+            FROM h ORDER BY doc_id
+        """,
+        "dedup_manifest": """
+            WITH h AS (
+              SELECT doc_id, sha256(text) AS sha256, length(text) AS _len
+              FROM documents
+            ), c AS (
+              SELECT doc_id, sha256, _len,
+                     MIN(doc_id) OVER (PARTITION BY sha256) AS representative_id
+              FROM h
+            )
+            SELECT doc_id, sha256, representative_id,
+                   CAST(doc_id <> representative_id AS INT) AS is_duplicate,
+                   CAST(CASE WHEN doc_id = representative_id THEN _len ELSE 0 END
+                        AS BIGINT) AS payload_chars
+            FROM c ORDER BY doc_id
+        """,
+        "dedup_stats": """
+            WITH m AS (
+              SELECT doc_id, sha256(text) AS sha256, length(text) AS _len,
+                     MIN(doc_id) OVER (PARTITION BY sha256(text)) AS rep
+              FROM documents
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(COUNT(DISTINCT sha256) AS BIGINT) AS n_unique,
+                   CAST(SUM(CASE WHEN doc_id <> rep THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_duplicates,
+                   CAST(SUM(CASE WHEN doc_id = rep THEN _len ELSE 0 END) AS BIGINT)
+                     AS unique_chars,
+                   ROUND(COUNT(*) / CAST(COUNT(DISTINCT sha256) AS DOUBLE), 6)
+                     AS dedup_factor
+            FROM m
+        """,
+    }

@@ -1,0 +1,95 @@
+"""Fused signature stage: sha256 + shingle stats + MinHash + SimHash.
+
+One ``mapInPandas`` pass computes every per-file fingerprint — the same
+fusion the reference applies in ``SerialIntegratedPipeline`` ("integrate all
+computationally intensive pipeline stages to improve cache efficiency",
+/root/reference/src/encoder.cpp:760-979).  Batches arrive as Arrow record
+batches, the python side runs pure numpy over a flattened concat buffer —
+the identical data layout the reference's GPU SHA-1 batch kernel consumes
+(offsets/lengths + contiguous buffer, src/encoder_spar.cpp:197-243).
+
+No per-row Python in the hash math; only sha256 uses a per-row hashlib call
+(like the per-chunk SHA1_Digest, src/sha.cpp:6-12).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dedup_gpu_stream_parallelism_spark.config import BASE1, BASE2, DedupConfig
+from dedup_gpu_stream_parallelism_spark.functions import hashing
+
+SIGNATURE_FIELDS = (
+    "sha256 string, n_chars bigint, n_shingles bigint, "
+    "n_distinct_shingles bigint, minhash array<bigint>, simhash bigint"
+)
+
+
+def _sign_batch(pdf: pd.DataFrame, text_col: str, cfg: DedupConfig) -> pd.DataFrame:
+    texts = pdf[text_col].fillna("").tolist()
+    flat1, starts = hashing.batch_shingle_hashes(texts, cfg.shingle_k, BASE1)
+    flat2, _ = hashing.batch_shingle_hashes(texts, cfg.shingle_k, BASE2)
+    sig = hashing.minhash_signatures(flat1, starts, cfg)
+    lo = hashing._segment_bit_votes(flat1, starts)
+    hi = hashing._segment_bit_votes(flat2, starts)
+    seg_len = np.diff(starts)
+    simhash = hi * (np.int64(1) << 31) + lo
+    simhash[seg_len == 0] = 0
+    n_distinct = np.array(
+        [
+            np.unique(flat1[starts[i] : starts[i + 1]]).shape[0]
+            for i in range(len(texts))
+        ],
+        dtype=np.int64,
+    )
+    out = pdf.drop(columns=[text_col]).copy()
+    out["sha256"] = [hashlib.sha256(t.encode("utf-8")).hexdigest() for t in texts]
+    out["n_chars"] = np.array([len(t) for t in texts], dtype=np.int64)
+    out["n_shingles"] = seg_len
+    out["n_distinct_shingles"] = n_distinct
+    out["minhash"] = list(sig)
+    out["simhash"] = simhash
+    return out
+
+
+def sign_documents(
+    df: DataFrame,
+    text_col: str = "content",
+    cfg: DedupConfig | None = None,
+    keep_text: bool = False,
+) -> DataFrame:
+    """Append signature columns to ``df`` (dropping the text column unless
+    ``keep_text``).  All other columns pass through unchanged."""
+    cfg = cfg or DedupConfig()
+    passthrough = [f for f in df.schema.fields if f.name != text_col]
+    schema = (
+        ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in passthrough)
+        + ", "
+        + SIGNATURE_FIELDS
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _sign_batch(pdf, text_col, cfg)
+
+    signed = df.mapInPandas(gen, schema=schema)
+    if keep_text:
+        # re-attach content by sha256-free join key: caller should retain it
+        raise NotImplementedError("keep_text: join content back on the id column")
+    return signed
+
+
+def with_sha256(df: DataFrame, text_col: str = "content") -> DataFrame:
+    """JVM-side sha256 column (F.sha2) — the per-row invariant column.
+
+    Equality of this column with the UDF-computed one is the graft analog of
+    the decoder's referential-integrity hard-fail
+    (/root/reference/src/decoder.cpp:268-271).
+    """
+    return df.withColumn("sha256", F.sha2(F.col(text_col), 256))

@@ -1,0 +1,87 @@
+"""Connected components over confirmed duplicate pairs → cluster ids.
+
+The reference links every duplicate chunk to its representative through the
+shared hash-table entry (src/dedupdef.h:170, src/encoder.cpp:516) — a
+one-hop star graph because equality is transitive.  Near-duplicate
+similarity is NOT transitive, so the graft's analog is true connected
+components: ``cluster_id = min(doc_id)`` over the component of confirmed
+pairs (SURVEY.md §7.1).
+
+Implementation: iterative DataFrame min-label propagation with pointer
+jumping, ``localCheckpoint()`` per frontier to cut lineage (the north rule's
+checkpointed frontier).  Neighbor propagation alone converges in O(diameter)
+rounds; the pointer-jumping join (label := label-of-label) squares progress
+each round, giving O(log diameter) — the alternating-algorithm trick from
+Kiveris et al., "Connected Components in MapReduce and Beyond" (SoCC'14).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    vertices: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """(doc_id, cluster_id) for every vertex; singletons cluster to themselves.
+
+    ``vertices``: one column ``id_col``.  ``edges``: (a_id, b_id).
+    """
+    spark = vertices.sparkSession
+    labels = vertices.select(
+        F.col(id_col).alias("v"), F.col(id_col).alias("lab")
+    ).localCheckpoint()
+    sym = (
+        edges.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+        .unionByName(
+            edges.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+
+    for _ in range(max_iterations):
+        # neighbor-min: every vertex receives its neighbors' current labels
+        msgs = sym.join(labels, sym.src == labels.v).select(
+            F.col("dst").alias("v"), F.col("lab")
+        )
+        new_labels = (
+            msgs.unionByName(labels.select("v", "lab"))
+            .groupBy("v")
+            .agg(F.min("lab").alias("lab"))
+        )
+        # pointer jumping: lab := lab(lab)
+        l2 = new_labels.select(
+            F.col("v").alias("p"), F.col("lab").alias("plab")
+        )
+        new_labels = (
+            new_labels.join(l2, new_labels.lab == l2.p, "left")
+            .select("v", F.coalesce("plab", "lab").alias("lab"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "v")
+            .where(F.col("n.lab") != F.col("o.lab"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    return labels.select(F.col("v").alias(id_col), F.col("lab").alias("cluster_id"))
+
+
+def clusters_from_pairs(
+    docs: DataFrame,
+    confirmed_pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Every doc in exactly one cluster (round-trip invariant, FIXTURES.md §5)."""
+    vertices = docs.select(id_col).distinct()
+    edges = confirmed_pairs.select("a_id", "b_id")
+    return connected_components(vertices, edges, id_col=id_col)

@@ -1,0 +1,178 @@
+"""Candidate-pair verification: shingle Jaccard + suffix-array substring confirm.
+
+This stage plays the role of LZSS longest-match search in the reference: for
+every position, find the longest earlier occurrence within a bounded window
+(MatcherSequential::FindMatchBatch,
+/root/reference/libs/lzsslib/src/matchers/matcher_sequential.cpp:10-79; CUDA
+twin matcher_cuda.cu:32-100).  The GPU kernel proves per-position
+independence — one thread per position — which is exactly why the pass
+parallelizes here as an Arrow-batched ``mapInPandas``: each candidate pair is
+verified independently inside a partition, and matches never cross pair
+boundaries just as the reference's batch kernels clamp matches at chunk
+boundaries via ``breakPositions[]`` (matcher_cuda.cu:319-385).
+
+The suffix array (prefix doubling, numpy) + Kasai LCP replaces the greedy
+window scan: the longest common substring of (a, b) is the max LCP between
+adjacent suffixes of the concatenation that originate from different docs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dedup_gpu_stream_parallelism_spark.config import BASE1, DedupConfig
+from dedup_gpu_stream_parallelism_spark.functions import hashing
+
+SEPARATOR = 0x110000  # > any unicode codepoint; keeps suffixes of a/b apart
+
+
+def suffix_array(codes: np.ndarray) -> np.ndarray:
+    """Suffix array via prefix doubling — O(n log^2 n), fully vectorized."""
+    n = codes.shape[0]
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    rank = np.unique(codes, return_inverse=True)[1].astype(np.int64)
+    k = 1
+    while True:
+        key2 = np.full(n, -1, dtype=np.int64)
+        if k < n:
+            key2[: n - k] = rank[k:]
+        order = np.lexsort((key2, rank))
+        r1, r2 = rank[order], key2[order]
+        changed = np.empty(n, dtype=np.int64)
+        changed[0] = 0
+        changed[1:] = ((r1[1:] != r1[:-1]) | (r2[1:] != r2[:-1])).astype(np.int64)
+        new_rank_sorted = np.cumsum(changed)
+        rank = np.empty(n, dtype=np.int64)
+        rank[order] = new_rank_sorted
+        if new_rank_sorted[-1] == n - 1:
+            break
+        k *= 2
+    sa = np.empty(n, dtype=np.int64)
+    sa[rank] = np.arange(n)
+    return sa
+
+
+def lcp_array(codes: np.ndarray, sa: np.ndarray) -> np.ndarray:
+    """Kasai: lcp[i] = LCP(suffix sa[i], suffix sa[i-1]); lcp[0] = 0."""
+    n = sa.shape[0]
+    rank = np.empty(n, dtype=np.int64)
+    rank[sa] = np.arange(n)
+    lcp = np.zeros(n, dtype=np.int64)
+    h = 0
+    for i in range(n):
+        r = rank[i]
+        if r > 0:
+            j = sa[r - 1]
+            m = n - max(i, j)
+            while h < m and codes[i + h] == codes[j + h]:
+                h += 1
+            lcp[r] = h
+            if h > 0:
+                h -= 1
+        else:
+            h = 0
+    return lcp
+
+
+def longest_common_substring(a: str, b: str) -> int:
+    """Length of the longest exact common substring of a and b."""
+    if not a or not b:
+        return 0
+    ca = hashing.text_codes(a)
+    cb = hashing.text_codes(b)
+    codes = np.concatenate([ca, [SEPARATOR], cb, [SEPARATOR + 1]]).astype(np.int64)
+    sa = suffix_array(codes)
+    lcp = lcp_array(codes, sa)
+    from_a = sa < ca.shape[0]  # suffix starts inside a
+    mixed = from_a[1:] != from_a[:-1]
+    if not mixed.any():
+        return 0
+    return int(lcp[1:][mixed].max())
+
+
+def jaccard_of(a: str, b: str, cfg: DedupConfig) -> tuple[int, int]:
+    """(intersection, union) sizes of the distinct k-shingle hash sets."""
+    ha = np.unique(hashing.shingle_hashes(a or "", cfg.shingle_k, BASE1))
+    hb = np.unique(hashing.shingle_hashes(b or "", cfg.shingle_k, BASE1))
+    inter = np.intersect1d(ha, hb, assume_unique=True).shape[0]
+    union = ha.shape[0] + hb.shape[0] - inter
+    return inter, union
+
+
+CONFIRM_SCHEMA = (
+    "a_id bigint, b_id bigint, jaccard double, lcs_len bigint, confirmed int"
+)
+
+
+def confirm_pairs(
+    pairs: DataFrame,
+    docs: DataFrame,
+    cfg: DedupConfig | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    compute_lcs: bool = True,
+) -> DataFrame:
+    """Verify candidate pairs: shingle Jaccard and (optionally) the
+    suffix-array longest-common-substring.  A pair is confirmed when
+    ``jaccard >= cfg.jaccard_threshold`` OR ``lcs_len >=
+    cfg.substring_min_len`` — near-dup and shared-substring semantics.
+
+    ``pairs``: (a_id, b_id).  ``docs``: (id_col, text_col).
+    Scale notes: two hash joins attach contents (each a shuffle on the id);
+    the verify itself is embarrassingly parallel per pair.  The cheap test
+    (Jaccard) runs first and the expensive suffix array only when Jaccard
+    alone doesn't confirm — the reference's size-threshold kernel routing
+    (src/encoder_spar.cpp:272-280).
+    """
+    cfg = cfg or DedupConfig()
+    da = docs.select(
+        F.col(id_col).alias("a_id"), F.col(text_col).alias("a_text")
+    )
+    db = docs.select(
+        F.col(id_col).alias("b_id"), F.col(text_col).alias("b_text")
+    )
+    joined = pairs.join(da, "a_id").join(db, "b_id").select(
+        "a_id", "b_id", "a_text", "b_text"
+    )
+
+    thr = cfg.jaccard_threshold
+    min_len = cfg.substring_min_len
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            jac = np.zeros(n, dtype=np.float64)
+            lcs = np.zeros(n, dtype=np.int64)
+            conf = np.zeros(n, dtype=np.int32)
+            for i, (a, b) in enumerate(zip(pdf["a_text"], pdf["b_text"])):
+                a = a or ""
+                b = b or ""
+                inter, union = jaccard_of(a, b, cfg)
+                j = inter / union if union else (1.0 if a == b else 0.0)
+                jac[i] = j
+                if j >= thr:
+                    conf[i] = 1
+                if compute_lcs:
+                    # skip the suffix array when it cannot reach the
+                    # threshold or Jaccard already confirmed a near-dup
+                    if min(len(a), len(b)) >= min_len and (j < thr):
+                        lcs[i] = longest_common_substring(a, b)
+                        if lcs[i] >= min_len:
+                            conf[i] = 1
+            yield pd.DataFrame(
+                {
+                    "a_id": pdf["a_id"].to_numpy(),
+                    "b_id": pdf["b_id"].to_numpy(),
+                    "jaccard": np.round(jac, 6),
+                    "lcs_len": lcs,
+                    "confirmed": conf,
+                }
+            )
+
+    return joined.mapInPandas(gen, schema=CONFIRM_SCHEMA)

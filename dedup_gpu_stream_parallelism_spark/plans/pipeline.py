@@ -1,0 +1,171 @@
+"""End-to-end near-duplicate pipeline plan with metrics + resumability.
+
+The reference's five-stage pipeline (Fragment → FragmentRefine → Deduplicate
+→ Compress → Reorder, /root/reference/src/encoder.cpp:12) re-expressed as a
+DataFrame DAG:
+
+    ingest → signatures (shingle+MinHash+SimHash+sha256, one fused UDF pass)
+           → exact clusters (groupBy sha256)
+           → LSH band keys → candidate pairs (repartitioned band-key join)
+           → confirm (Jaccard + suffix-array substring)
+           → connected components → cluster ids
+           → ordered outputs + per-stage metrics
+
+Resumability: when ``workdir`` is set, every stage materializes to parquet
+and completed stages are skipped on re-run — the parquet-level stand-in for
+Iceberg snapshot checkpoints (SURVEY.md §7.3).  Metrics mirror the
+reference's per-stage ``stats_t`` (merge_stats/print_stats,
+src/encoder.cpp:113-177): rows in/out, seconds, rows/sec per stage.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import asdict, dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dedup_gpu_stream_parallelism_spark.config import DedupConfig
+from dedup_gpu_stream_parallelism_spark.functions.signatures import sign_documents
+from dedup_gpu_stream_parallelism_spark.operators import chunk as chunk_op
+from dedup_gpu_stream_parallelism_spark.operators import cluster as cluster_op
+from dedup_gpu_stream_parallelism_spark.operators import exact as exact_op
+from dedup_gpu_stream_parallelism_spark.operators import lsh as lsh_op
+from dedup_gpu_stream_parallelism_spark.operators import verify as verify_op
+
+
+@dataclass
+class StageMetric:
+    stage: str
+    rows_out: int
+    seconds: float
+    rows_per_sec: float
+
+
+@dataclass
+class PipelineResult:
+    signed: DataFrame
+    exact_clusters: DataFrame
+    candidates: DataFrame
+    confirmed: DataFrame
+    clusters: DataFrame
+    metrics: list[StageMetric] = field(default_factory=list)
+
+    def metrics_json(self) -> str:
+        return json.dumps([asdict(m) for m in self.metrics])
+
+
+class _Stager:
+    """Materialize-or-resume per stage (snapshot checkpoint stand-in)."""
+
+    def __init__(self, spark: SparkSession, workdir: str | None):
+        self.spark = spark
+        self.workdir = workdir
+        self.metrics: list[StageMetric] = []
+
+    def run(self, name: str, build, cache: bool = True) -> DataFrame:
+        t0 = time.monotonic()
+        if self.workdir:
+            path = os.path.join(self.workdir, name)
+            marker = os.path.join(path, "_SUCCESS")
+            if os.path.exists(marker):
+                df = self.spark.read.parquet(path)
+                n = df.count()
+                self.metrics.append(StageMetric(name + " (resumed)", n, 0.0, 0.0))
+                return df
+            df = build()
+            df.write.mode("overwrite").parquet(path)
+            out = self.spark.read.parquet(path)
+            n = out.count()
+        else:
+            out = build()
+            if cache:
+                out = out.localCheckpoint()
+            n = out.count()
+        dt = time.monotonic() - t0
+        self.metrics.append(
+            StageMetric(name, n, round(dt, 3), round(n / dt, 1) if dt else 0.0)
+        )
+        return out
+
+
+def run_pipeline(
+    docs: DataFrame,
+    cfg: DedupConfig | None = None,
+    id_col: str = "file_id",
+    text_col: str = "content",
+    workdir: str | None = None,
+    pair_strategy: str = "all_pairs",
+    compute_lcs: bool = True,
+) -> PipelineResult:
+    """Full near-dup detection + clustering over ``docs``.
+
+    ``docs`` must carry a unique integer ``id_col`` and a string ``text_col``.
+    Per-partition lineage: outputs carry ``partition_id``.
+    """
+    cfg = cfg or DedupConfig()
+    spark = docs.sparkSession
+    stager = _Stager(spark, workdir)
+
+    docs = docs.select(
+        F.col(id_col).alias("doc_id").cast("bigint"), F.col(text_col).alias("text")
+    )
+
+    signed = stager.run(
+        "01_signatures",
+        lambda: sign_documents(docs, text_col="text", cfg=cfg).withColumn(
+            "partition_id", F.spark_partition_id()
+        ),
+    )
+    exact = stager.run(
+        "02_exact_clusters", lambda: exact_op.exact_dup_clusters(docs, "doc_id", "text")
+    )
+    banded = lsh_op.band_keys(signed, cfg)
+    candidates = stager.run(
+        "03_candidate_pairs",
+        lambda: lsh_op.candidate_pairs(banded, cfg, strategy=pair_strategy)
+        .unionByName(
+            # CDC chunk-hash candidates surface shared-substring duplicates
+            # that set-similarity misses (Rabin stage analog)
+            chunk_op.chunk_candidate_pairs(
+                chunk_op.chunk_documents(docs, cfg), cfg, strategy=pair_strategy
+            )
+        )
+        .distinct(),
+    )
+    confirmed = stager.run(
+        "04_confirmed_pairs",
+        lambda: verify_op.confirm_pairs(
+            candidates, docs, cfg, id_col="doc_id", text_col="text",
+            compute_lcs=compute_lcs,
+        ),
+    )
+    # cluster edges = verified near-dup pairs ∪ exact-dup pairs.  Exact pairs
+    # come straight from the sha256 stage so identical texts cluster even
+    # when they are too short for shingling (banding excludes empty
+    # signatures — see operators/lsh.py).
+    exact_edges = exact.where(F.col("is_duplicate") == 1).select(
+        F.col("cluster_id").alias("a_id"), F.col("doc_id").alias("b_id")
+    )
+    edges = (
+        confirmed.where(F.col("confirmed") == 1)
+        .select("a_id", "b_id")
+        .unionByName(exact_edges)
+    )
+    clusters = stager.run(
+        "05_clusters",
+        lambda: cluster_op.clusters_from_pairs(docs, edges, id_col="doc_id").orderBy(
+            "doc_id"
+        ),
+    )
+    return PipelineResult(
+        signed=signed,
+        exact_clusters=exact,
+        candidates=candidates,
+        confirmed=confirmed,
+        clusters=clusters,
+        metrics=stager.metrics,
+    )

@@ -1,0 +1,55 @@
+"""Connected components: shape cases + union-find parity."""
+
+import random
+
+from dedup_gpu_stream_parallelism_spark.operators.cluster import connected_components
+from dedup_gpu_stream_parallelism_spark.plans.oracle import clusters as uf_clusters
+
+
+def _run(spark, n, edges):
+    vertices = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
+    e = spark.createDataFrame(edges or [(0, 0)], ["a_id", "b_id"])
+    if not edges:
+        e = e.limit(0)
+    got = {r.doc_id: r.cluster_id for r in connected_components(vertices, e).collect()}
+    want = uf_clusters(list(range(n)), set(edges))
+    assert got == want, (got, want)
+    return got
+
+
+def test_no_edges_all_singletons(spark):
+    got = _run(spark, 8, [])
+    assert all(got[i] == i for i in range(8))
+
+
+def test_path_graph_single_cluster(spark):
+    """Adversarial chain (SURVEY §7.3): long path must converge via
+    pointer jumping well inside the iteration bound."""
+    n = 40
+    got = _run(spark, n, [(i, i + 1) for i in range(n - 1)])
+    assert set(got.values()) == {0}
+
+
+def test_star_and_disjoint_components(spark):
+    edges = [(0, i) for i in range(1, 6)] + [(10, 11), (11, 12)] + [(20, 21)]
+    got = _run(spark, 25, edges)
+    assert {got[i] for i in range(6)} == {0}
+    assert got[10] == got[11] == got[12] == 10
+    assert got[20] == got[21] == 20
+    assert got[15] == 15
+
+
+def test_random_graphs_match_union_find(spark):
+    rng = random.Random(11)
+    for trial in range(3):
+        n = 30
+        edges = list(
+            {
+                (min(a, b), max(a, b))
+                for a, b in (
+                    (rng.randrange(n), rng.randrange(n)) for _ in range(25)
+                )
+                if a != b
+            }
+        )
+        _run(spark, n, edges)

@@ -1,0 +1,58 @@
+"""LSH banding + candidate generation vs oracle; skew strategies."""
+
+from pyspark.sql import functions as F
+
+from dedup_gpu_stream_parallelism_spark.functions.signatures import sign_documents
+from dedup_gpu_stream_parallelism_spark.operators import lsh
+from dedup_gpu_stream_parallelism_spark.plans import oracle
+
+
+def _signed(corpus_df, cfg):
+    docs = corpus_df.select(
+        F.col("file_id").alias("doc_id").cast("bigint"),
+        F.col("content").alias("text"),
+    )
+    return sign_documents(docs, text_col="text", cfg=cfg)
+
+
+def test_band_keys_match_oracle(spark, corpus_df, cfg, oracle_results):
+    texts = oracle_results["texts"]
+    banded = lsh.band_keys(_signed(corpus_df, cfg), cfg)
+    got = {}
+    for r in banded.collect():
+        got.setdefault(r.doc_id, []).append((r.band, r.band_key))
+    for fid in list(texts)[:25]:
+        want = [
+            (band, f"{key}")
+            for band, key in enumerate(oracle.band_keys(oracle.minhash(texts[fid], cfg), cfg))
+        ]
+        assert sorted(got[fid]) == sorted(want)
+
+
+def test_candidates_match_oracle(spark, corpus_df, cfg, oracle_results):
+    banded = lsh.band_keys(_signed(corpus_df, cfg), cfg)
+    got = {(r.a_id, r.b_id) for r in lsh.candidate_pairs(banded, cfg).collect()}
+    texts = oracle_results["texts"]
+    want = oracle.candidate_pairs(texts, cfg)
+    assert got == want
+    assert all(a < b for a, b in got)
+
+
+def test_star_strategy_preserves_connectivity(spark, corpus_df, cfg, oracle_results):
+    """Star capping must keep every all-pairs bucket member connected
+    through the hub (clusters unchanged even when pair lists shrink)."""
+    from dedup_gpu_stream_parallelism_spark.plans.oracle import clusters
+
+    banded = lsh.band_keys(_signed(corpus_df, cfg), cfg)
+    all_pairs = {(r.a_id, r.b_id) for r in lsh.candidate_pairs(banded, cfg, "all_pairs").collect()}
+    star = {(r.a_id, r.b_id) for r in lsh.candidate_pairs(banded, cfg, "star").collect()}
+    ids = list(oracle_results["texts"])
+    assert clusters(ids, star) == clusters(ids, all_pairs)
+
+
+def test_bucket_stats_histogram(spark, corpus_df, cfg):
+    banded = lsh.band_keys(_signed(corpus_df, cfg), cfg)
+    hist = lsh.bucket_stats(banded).collect()
+    total_buckets = sum(r.n_buckets for r in hist)
+    assert total_buckets > 0
+    assert all(r.bucket_n >= 1 for r in hist)
