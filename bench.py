@@ -71,19 +71,36 @@ def run_queries(sf_dir: str, cpus: int) -> dict:
     return result
 
 
-def run_flagship_once(sf_dir: str, cpus: int) -> dict:
+def run_flagship_once(
+    sf_dir: str,
+    cpus: int,
+    input_path: str | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    strategy: str = "all_pairs",
+) -> dict:
     """Time ONLY the flagship pipeline end-to-end at a given core count."""
     sys.path.insert(0, REPO)
+    from pyspark.sql import functions as F
+
     from dedup_gpu_stream_parallelism_spark.config import DedupConfig
     from dedup_gpu_stream_parallelism_spark.plans.pipeline import run_pipeline
     from dedup_gpu_stream_parallelism_spark.session import build_session
 
     spark = build_session(f"scaling-{cpus}", cpus=cpus, shuffle_partitions=max(cpus, 8))
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = input_path or f"{sf_dir}/documents.parquet"
+    docs = spark.read.parquet(path)
     n_docs = docs.count()
-    spark.range(1000).selectExpr("sum(id)").collect()  # JVM/py-worker warmup
+    # warm up JVM codegen AND the python-worker pool (mapInPandas fork cost
+    # scales with cores; exclude it so both levels measure steady state)
+    spark.range(4 * cpus).repartition(cpus).mapInPandas(
+        lambda it: it, schema="id long"
+    ).count()
     t0 = time.monotonic()
-    res = run_pipeline(docs, DedupConfig(), id_col="doc_id", text_col="text")
+    res = run_pipeline(
+        docs, DedupConfig(), id_col=id_col, text_col=text_col,
+        pair_strategy=strategy,
+    )
     n_out = res.clusters.count()
     dt = time.monotonic() - t0
     spark.stop()
@@ -93,17 +110,33 @@ def run_flagship_once(sf_dir: str, cpus: int) -> dict:
         "n_docs": n_docs,
         "n_out": n_out,
         "files_per_sec": round(n_docs / dt, 1),
+        "stages": {m.stage: m.seconds for m in res.metrics},
     }
 
 
-def run_scaling(sf_dir: str, n: int, repeats: int = 1) -> dict:
+def run_scaling(
+    sf_dir: str,
+    n: int,
+    repeats: int = 1,
+    input_path: str | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    strategy: str = "all_pairs",
+) -> dict:
     """local[N] vs local[4N] on identical input via subprocess-isolated JVMs."""
     levels = {}
     for cpus in (n, 4 * n):
         best = None
         for _ in range(repeats):
+            cmd = [
+                sys.executable, __file__, "--single-run", str(cpus),
+                "--sf-dir", sf_dir, "--id-col", id_col,
+                "--text-col", text_col, "--strategy", strategy,
+            ]
+            if input_path:
+                cmd += ["--input", input_path]
             out = subprocess.run(
-                [sys.executable, __file__, "--single-run", str(cpus), "--sf-dir", sf_dir],
+                cmd,
                 capture_output=True,
                 text=True,
                 cwd=REPO,
@@ -135,13 +168,23 @@ def main() -> None:
     p.add_argument("--repeats", type=int, default=1)
     p.add_argument("--single-run", type=int, metavar="CPUS", default=None,
                    help="internal: time the flagship once at CPUS cores")
+    p.add_argument("--input", default=None, help="parquet path overriding sf-dir docs")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--strategy", default="all_pairs", choices=["all_pairs", "star"])
     args = p.parse_args()
 
     if args.single_run is not None:
-        print(json.dumps(run_flagship_once(args.sf_dir, args.single_run)))
+        print(json.dumps(run_flagship_once(
+            args.sf_dir, args.single_run, input_path=args.input,
+            id_col=args.id_col, text_col=args.text_col, strategy=args.strategy,
+        )))
         return
     if args.scaling:
-        print(json.dumps(run_scaling(args.sf_dir, args.scaling_n, args.repeats)))
+        print(json.dumps(run_scaling(
+            args.sf_dir, args.scaling_n, args.repeats, input_path=args.input,
+            id_col=args.id_col, text_col=args.text_col, strategy=args.strategy,
+        )))
         return
     print(json.dumps(run_queries(args.sf_dir, args.cpus)))
 

@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Two-cluster-size scaling evidence (north rule).
+
+No real cluster exists in this sandbox, so the rule's N-vs-4N-executor
+criterion is evidenced by running the IDENTICAL flagship job at two
+parallelism levels — ``local[8]`` and ``local[32]`` — on the SAME input
+(the reference's analog: its 1..20-thread sweep, benchmark/benchmark.py:26).
+
+Input: a deterministic synthetic source-code corpus (sources/corpus.py,
+seed-fixed, Iceberg-shaped columns) generated ONCE into ``.bench/`` and
+re-read by both levels, so generation cost never pollutes the timing.
+Pair strategy ``star`` — the skew-capped scale path the 100 TB design uses.
+
+Writes a markdown report section to BENCH.md and prints the JSON result.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import bench  # noqa: E402
+
+
+def ensure_corpus(n_files: int, seed: int = 42) -> str:
+    path = os.path.join(REPO, ".bench", f"corpus_{n_files}_{seed}.parquet")
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    from dedup_gpu_stream_parallelism_spark.session import build_session
+    from dedup_gpu_stream_parallelism_spark.sources.corpus import corpus_df
+
+    spark = build_session("corpus-gen", cpus=8, shuffle_partitions=8)
+    corpus_df(spark, n_files=n_files, seed=seed, partitions=64).write.mode(
+        "overwrite"
+    ).parquet(path)
+    spark.stop()
+    return path
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--n-files", type=int, default=100_000)
+    p.add_argument("--n-cores", type=int, default=8)
+    p.add_argument("--repeats", type=int, default=1)
+    p.add_argument("--strategy", default="star")
+    args = p.parse_args()
+
+    corpus = ensure_corpus(args.n_files)
+    result = bench.run_scaling(
+        sf_dir=os.path.dirname(corpus),
+        n=args.n_cores,
+        repeats=args.repeats,
+        input_path=corpus,
+        id_col="file_id",
+        text_col="content",
+        strategy=args.strategy,
+    )
+    result["n_files"] = args.n_files
+    result["strategy"] = args.strategy
+
+    lo = result["levels"][args.n_cores]
+    hi = result["levels"][4 * args.n_cores]
+    md = f"""
+## Scaling run: local[{args.n_cores}] vs local[{4 * args.n_cores}] (same input)
+
+Synthetic source-code corpus, {args.n_files:,} files (seed 42, planted dups),
+pair strategy `{args.strategy}`, subprocess-isolated JVMs, python-worker pool
+pre-warmed at both levels.
+
+| cores | wall (s) | files/sec |
+|---|---|---|
+| {args.n_cores} | {lo['sec']} | {lo['files_per_sec']} |
+| {4 * args.n_cores} | {hi['sec']} | {hi['files_per_sec']} |
+
+**Speedup {result['speedup']}x over 4x cores → scaling efficiency
+{result['value']}** (north-rule target >= 0.8).
+"""
+    with open(os.path.join(REPO, "BENCH.md"), "a") as f:
+        f.write(md)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
