@@ -73,6 +73,28 @@ def batch_shingle_hashes(
     return flat, starts
 
 
+# Doc-aligned cache block: ~32K shingles (256 KB of int64) so the shingle
+# slice and the work buffer stay L2-resident across all 128 permutation /
+# 31 bit-plane passes.  Streaming the full batch per pass instead saturates
+# DRAM bandwidth by ~8 worker processes and kills 8→32-core scaling
+# (measured: 0.30 efficiency unblocked, 0.8-1.0 blocked).  Same working-set
+# discipline as the reference's 4 MiB GPU batches (libs/lzsslib/src/Makefile:15).
+BLOCK_SHINGLES = 1 << 15
+
+
+def _doc_blocks(starts: np.ndarray, block: int):
+    """Yield (d0, d1) doc index ranges spanning <= block shingles each
+    (always at least one doc, so an oversized doc gets a block to itself)."""
+    n_docs = starts.shape[0] - 1
+    d0 = 0
+    while d0 < n_docs:
+        d1 = d0 + 1
+        while d1 < n_docs and starts[d1 + 1] - starts[d0] <= block:
+            d1 += 1
+        yield d0, d1
+        d0 = d1
+
+
 def _segment_min(values: np.ndarray, starts: np.ndarray, fill: int) -> np.ndarray:
     """Per-segment minimum via ``np.minimum.reduceat``; empty segments → fill."""
     n_seg = starts.shape[0] - 1
@@ -93,26 +115,34 @@ def minhash_signatures(
 ) -> np.ndarray:
     """(n_docs, num_perm) int64 MinHash matrix over the flattened batch.
 
-    One permutation at a time through a single REUSED buffer: the stage is
-    memory-bandwidth-bound, and keeping the working set at one
-    ``total_shingles`` array (vs a (chunk, total) block) measures ~4.5x
-    faster — the same working-set discipline that makes the reference bound
-    GPU batches to 4 MiB (libs/lzsslib/src/Makefile:15).
+    Cache-blocked: doc-aligned blocks of ``BLOCK_SHINGLES`` are kept
+    L2-resident across all ``num_perm`` passes through one reused buffer
+    (see BLOCK_SHINGLES note for the measured scaling effect).
     """
     a, b = cfg.minhash_coeffs()
     n_docs = starts.shape[0] - 1
     sig = np.full((n_docs, cfg.num_perm), cfg.empty_min, dtype=np.int64)
     if flat_hashes.shape[0] == 0:
         return sig
-    nonempty = np.diff(starts) > 0
-    idx = starts[:-1][nonempty]
-    buf = np.empty_like(flat_hashes)
-    for t in range(cfg.num_perm):
-        # a_t*h + b_t mod P; a<P, h<P ⇒ product < 2**62, ok in int64
-        np.multiply(flat_hashes, a[t], out=buf)
-        buf += b[t]
-        buf %= MERSENNE
-        sig[nonempty, t] = np.minimum.reduceat(buf, idx)
+    buf = np.empty(min(flat_hashes.shape[0], 2 * BLOCK_SHINGLES), dtype=np.int64)
+    for d0, d1 in _doc_blocks(starts, BLOCK_SHINGLES):
+        lo, hi = starts[d0], starts[d1]
+        sub = flat_hashes[lo:hi]
+        if sub.shape[0] == 0:
+            continue
+        ss = starts[d0 : d1 + 1] - lo
+        ne = np.diff(ss) > 0
+        idx = ss[:-1][ne]
+        docsel = np.arange(d0, d1)[ne]
+        if buf.shape[0] < sub.shape[0]:
+            buf = np.empty(sub.shape[0], dtype=np.int64)
+        bv = buf[: sub.shape[0]]
+        for t in range(cfg.num_perm):
+            # a_t*h + b_t mod P; a<P, h<P ⇒ product < 2**62, ok in int64
+            np.multiply(sub, a[t], out=bv)
+            bv += b[t]
+            bv %= MERSENNE
+            sig[docsel, t] = np.minimum.reduceat(bv, idx)
     return sig
 
 
@@ -122,19 +152,29 @@ def _segment_bit_votes(flat: np.ndarray, starts: np.ndarray) -> np.ndarray:
     packed = np.zeros(n_seg, dtype=np.int64)
     if flat.shape[0] == 0:
         return packed
-    seg_len = np.diff(starts)
-    nonempty = seg_len > 0
-    idx = starts[:-1][nonempty]
-    ne_len = seg_len[nonempty]
-    # one bit-plane at a time through a reused buffer (memory-bound stage;
-    # a (total, 31) block would be 31x the working set).  Majority vote:
-    # bit set ⇔ ones >= zeros ⇔ 2*ones >= seg_len (ties vote 1).
-    buf = np.empty_like(flat)
-    for bit in range(SIMHASH_HALF_BITS):
-        np.right_shift(flat, bit, out=buf)
-        buf &= 1
-        ones = np.add.reduceat(buf, idx)
-        packed[nonempty] |= (2 * ones >= ne_len).astype(np.int64) << bit
+    # cache-blocked bit-plane loop through a reused buffer (see
+    # BLOCK_SHINGLES).  Majority vote: bit set ⇔ ones >= zeros ⇔
+    # 2*ones >= seg_len (ties vote 1).
+    buf = np.empty(min(flat.shape[0], 2 * BLOCK_SHINGLES), dtype=np.int64)
+    for d0, d1 in _doc_blocks(starts, BLOCK_SHINGLES):
+        lo, hi = starts[d0], starts[d1]
+        sub = flat[lo:hi]
+        if sub.shape[0] == 0:
+            continue
+        ss = starts[d0 : d1 + 1] - lo
+        seg_len = np.diff(ss)
+        ne = seg_len > 0
+        idx = ss[:-1][ne]
+        docsel = np.arange(d0, d1)[ne]
+        ne_len = seg_len[ne]
+        if buf.shape[0] < sub.shape[0]:
+            buf = np.empty(sub.shape[0], dtype=np.int64)
+        bv = buf[: sub.shape[0]]
+        for bit in range(SIMHASH_HALF_BITS):
+            np.right_shift(sub, bit, out=bv)
+            bv &= 1
+            ones = np.add.reduceat(bv, idx)
+            packed[docsel] |= (2 * ones >= ne_len).astype(np.int64) << bit
     return packed
 
 

@@ -121,11 +121,12 @@ def chunk_candidate_pairs(
     star-capped exactly like hot LSH bands (operators/lsh.py).
     """
     cfg = cfg or DedupConfig()
+    # 8-byte hashed key (like LSH band keys); the groupBy inside
+    # candidate_pairs supplies the single hash exchange.
     keyed = (
         chunks.where(F.col("chunk_len") >= min_chunk_len)
-        .select("doc_id", F.col("chunk_sha").alias("band_key"))
+        .select("doc_id", F.xxhash64("chunk_sha").alias("band_key"))
         .distinct()
-        .repartition(cfg.shuffle_partitions, "band_key")
     )
     from dedup_gpu_stream_parallelism_spark.operators.lsh import candidate_pairs
 

@@ -38,26 +38,17 @@ def band_keys(signed: DataFrame, cfg: DedupConfig | None = None) -> DataFrame:
     # buckets — a quadratic skew bomb at corpus scale — and they can only be
     # exact duplicates anyway, which the sha256 path already clusters.
     signed = signed.where(F.element_at("minhash", 1) != F.lit(cfg.empty_min))
+    # band_key = xxhash64(band_idx, the band's r signature values): an 8-byte
+    # shuffle key instead of a ~90-char string (10x less exchange volume; a
+    # hash collision merely merges two buckets, adding candidate pairs the
+    # confirm stage rejects — recall is unaffected).
     keys = F.transform(
         F.sequence(F.lit(0), F.lit(cfg.lsh_bands - 1)),
-        lambda band: F.concat_ws(
-            ",",
-            F.transform(
-                F.slice(F.col("minhash"), band * r + F.lit(1), r),
-                lambda v: v.cast("string"),
-            ),
+        lambda band: F.xxhash64(
+            band, F.slice(F.col("minhash"), band * r + F.lit(1), r)
         ),
     )
-    return (
-        signed.select("doc_id", F.posexplode(keys).alias("band", "_k"))
-        .select(
-            "doc_id",
-            "band",
-            F.concat_ws(":", F.col("band").cast("string"), F.col("_k")).alias(
-                "band_key"
-            ),
-        )
-    )
+    return signed.select("doc_id", F.posexplode(keys).alias("band", "band_key"))
 
 
 def candidate_pairs(
@@ -67,49 +58,55 @@ def candidate_pairs(
 ) -> DataFrame:
     """Distinct (a_id, b_id) candidate pairs, a_id < b_id.
 
-    ``all_pairs``: exact LSH semantics via self-join on band_key.
-    ``star``: skew-capped — every bucket member pairs with the bucket's min
-    id only; plus all-pairs for buckets <= cfg.max_bucket_size.
+    ``all_pairs``: exact LSH semantics — every in-bucket pair (quadratic in
+    bucket size; test/oracle scale).
+    ``star``: skew-capped scale path — buckets <= cfg.max_bucket_size emit
+    all pairs, larger buckets emit only (min_id, member) star edges: O(n)
+    pairs, connectivity preserved through the hub, so clustering is
+    unaffected; only non-hub pair scores are lost.
+
+    One shuffle total: the groupBy(band_key) hash exchange IS the
+    "repartition by band hash" of the north rule; pair expansion happens
+    JVM-side on the grouped id arrays (no second join shuffle, no
+    per-row Python).
     """
     cfg = cfg or DedupConfig()
-    parts = cfg.shuffle_partitions
-    banded = banded.repartition(parts, "band_key")
+
+    grouped = (
+        banded.groupBy("band_key")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
+    ids = F.col("ids")
+    # all pairs (i < j) from the sorted id array, built with array exprs
+    all_pairs_expr = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(x.alias("a_id"), y.alias("b_id")),
+            ),
+        )
+    )
+    star_expr = F.transform(
+        F.slice(ids, F.lit(2), F.size(ids)),
+        lambda y: F.struct(F.element_at(ids, 1).alias("a_id"), y.alias("b_id")),
+    )
 
     if strategy == "all_pairs":
-        a = banded.alias("a")
-        b = banded.alias("b")
-        pairs = (
-            a.join(b, "band_key")
-            .where(F.col("a.doc_id") < F.col("b.doc_id"))
-            .select(
-                F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
-            )
-        )
-        return pairs.distinct()
+        pairs_expr = all_pairs_expr
+    elif strategy == "star":
+        pairs_expr = F.when(
+            F.size(ids) <= cfg.max_bucket_size, all_pairs_expr
+        ).otherwise(star_expr)
+    else:
+        raise ValueError(f"unknown strategy {strategy!r}")
 
-    if strategy == "star":
-        # bucket hub = min doc_id; emit (hub, member) per bucket.
-        hubs = banded.groupBy("band_key").agg(
-            F.min("doc_id").alias("hub"), F.count("*").alias("bucket_n")
-        )
-        star = (
-            banded.join(hubs, "band_key")
-            .where(F.col("doc_id") != F.col("hub"))
-            .select(F.col("hub").alias("a_id"), F.col("doc_id").alias("b_id"))
-        )
-        # small buckets additionally get exact all-pairs (cheap, better scores)
-        small = hubs.where(F.col("bucket_n") <= cfg.max_bucket_size).select("band_key")
-        small_banded = banded.join(F.broadcast(small), "band_key")
-        a = small_banded.alias("a")
-        b = small_banded.alias("b")
-        dense = (
-            a.join(b, "band_key")
-            .where(F.col("a.doc_id") < F.col("b.doc_id"))
-            .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
-        )
-        return star.unionByName(dense).distinct()
-
-    raise ValueError(f"unknown strategy {strategy!r}")
+    return (
+        grouped.select(F.explode(pairs_expr).alias("p"))
+        .select("p.a_id", "p.b_id")
+        .distinct()
+    )
 
 
 def bucket_stats(banded: DataFrame) -> DataFrame:

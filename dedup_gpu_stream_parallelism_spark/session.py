@@ -32,10 +32,14 @@ def build_session(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
-        # suffix-array confirm ships whole file contents through Arrow;
-        # keep batches bounded the way the reference bounds GPU batches to
-        # 4 MiB (libs/lzsslib/src/Makefile:15)
-        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # This engine's scans feed CPU-bound pandas UDFs, so bytes/task must
+        # target seconds of UDF work, not HDFS-block amortization: at the
+        # default 128 MB a 100 MB corpus becomes ONE scan task and the
+        # repartition's map side serializes on a single core.  16 MB ≈ 15 s
+        # of signature work per task.  (On a 1000-executor cluster reading
+        # 100 TB, raise toward 128 MB — the scan is then wide enough anyway.)
+        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
+        .config("spark.sql.files.openCostInBytes", str(1 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
     )
