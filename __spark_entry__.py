@@ -18,6 +18,8 @@ from pyspark.sql import functions as F
 from dedup_gpu_stream_parallelism_spark.config import DedupConfig
 from dedup_gpu_stream_parallelism_spark.operators import chunk as chunk_op
 from dedup_gpu_stream_parallelism_spark.operators import exact as exact_op
+from dedup_gpu_stream_parallelism_spark.operators import text as text_op
+from dedup_gpu_stream_parallelism_spark.plans import duck_sql
 from dedup_gpu_stream_parallelism_spark.plans.pipeline import run_pipeline
 
 CFG = DedupConfig()
@@ -67,6 +69,18 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.clusters.orderBy("doc_id")
 
 
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_op.text_stats(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_op.lang_id(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_op.quality_score(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dup_clusters": q_exact_dup_clusters,
@@ -75,6 +89,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_chunk_stats": q_cdc_chunk_stats,
         # no oracle entry (iterative CC + suffix-array confirm): rows-only
         "near_dup_clusters": q_near_dup_clusters,
+        "text_stats": q_text_stats,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
     }
 
 
@@ -121,4 +138,7 @@ def oracle_sql() -> dict[str, str]:
                      AS dedup_factor
             FROM m
         """,
+        "text_stats": duck_sql.TEXT_STATS_SQL,
+        "lang_id": duck_sql.LANG_ID_SQL,
+        "quality_score": duck_sql.QUALITY_SCORE_SQL,
     }
