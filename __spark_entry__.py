@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from dedup_gpu_stream_parallelism_spark.config import DedupConfig
 from dedup_gpu_stream_parallelism_spark.operators import chunk as chunk_op
 from dedup_gpu_stream_parallelism_spark.operators import exact as exact_op
+from dedup_gpu_stream_parallelism_spark.operators import similarity as sim_op
 from dedup_gpu_stream_parallelism_spark.operators import text as text_op
 from dedup_gpu_stream_parallelism_spark.plans import duck_sql
 from dedup_gpu_stream_parallelism_spark.plans.pipeline import run_pipeline
@@ -81,6 +82,22 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_op.quality_score(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim_op.cosine_topk(_emb(spark, sf_dir), k=5).orderBy("vec_id", "rank")
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim_op.ann_lsh_topk(_emb(spark, sf_dir), k=5).orderBy("vec_id", "rank")
+
+
+def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim_op.embedding_stats(_emb(spark, sf_dir)).orderBy("vec_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dup_clusters": q_exact_dup_clusters,
@@ -92,6 +109,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
+        "cosine_topk": q_cosine_topk,
+        # approximate by construction: rows-only check (recall asserted
+        # against cosine_topk in tests/test_similarity.py)
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "embedding_stats": q_embedding_stats,
     }
 
 
@@ -141,4 +163,6 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": duck_sql.TEXT_STATS_SQL,
         "lang_id": duck_sql.LANG_ID_SQL,
         "quality_score": duck_sql.QUALITY_SCORE_SQL,
+        "cosine_topk": duck_sql.COSINE_TOPK_SQL,
+        "embedding_stats": duck_sql.EMBEDDING_STATS_SQL,
     }

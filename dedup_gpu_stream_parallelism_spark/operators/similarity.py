@@ -1,0 +1,208 @@
+"""Embedding similarity search: exact brute-force top-k and LSH-bucketed ANN.
+
+The scale path mirrors the reference's batch-matcher design: the CUDA LZSS
+matcher gives every position an independent "find my best earlier match"
+task over a bounded window (/root/reference/libs/lzsslib/src/matchers/
+matcher_cuda.cu:32-100); here every query vector gets an independent
+"find my top-k neighbours" task over a candidate set.  Exact search bounds
+the candidate set by blocking (whole index broadcast per task, numpy GEMM);
+the ANN variant bounds it by random-hyperplane LSH buckets — the same
+bucket-then-verify shape as the MinHash/LSH text path (operators/lsh.py).
+
+All vector math is float64 numpy inside ``mapInPandas`` (Arrow-batched; no
+per-row Python); similarities are ROUND(…, 6) to match the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TOPK_SCHEMA = "vec_id bigint, neighbor_id bigint, rank int, cosine double"
+
+
+def _normalized_matrix(pdf: pd.DataFrame, id_col: str, vec_col: str):
+    ids = pdf[id_col].to_numpy(dtype=np.int64)
+    mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0.0] = 1.0
+    return ids, mat / norms[:, None]
+
+
+def cosine_topk(
+    emb: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbours for every vector (self excluded).
+
+    Physical plan: the index side is collected once on the driver and
+    broadcast (read-only numpy matrix) to every task; queries stream
+    through ``mapInPandas`` and hit the index with one float64 GEMM per
+    Arrow batch, then ``argpartition`` top-k.  At 100 TB the broadcast side
+    is the (much smaller) representative/centroid set — for index sides too
+    big to broadcast, switch to ``ann_lsh_topk``.
+
+    Ties broken by neighbor_id ascending (matches the SQL oracle's
+    ORDER BY cosine DESC, neighbor_id).
+    """
+    spark = emb.sparkSession
+    src = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+    # index must be id-sorted: self-exclusion uses searchsorted
+    index_pdf = src.toPandas().sort_values("vec_id").reset_index(drop=True)
+    idx_ids, idx_mat = _normalized_matrix(index_pdf, "vec_id", "vec")
+    bc = spark.sparkContext.broadcast((idx_ids, idx_mat))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_i, mat_i = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q_ids, q_mat = _normalized_matrix(pdf, "vec_id", "vec")
+            sims = q_mat @ mat_i.T  # (batch, index)
+            # self-match → -inf so it never enters top-k
+            self_pos = np.searchsorted(ids_i, q_ids)
+            in_range = (self_pos < ids_i.shape[0]) & (
+                ids_i[np.minimum(self_pos, ids_i.shape[0] - 1)] == q_ids
+            )
+            sims[np.nonzero(in_range)[0], self_pos[in_range]] = -np.inf
+            kk = min(k, sims.shape[1] - 1)
+            if kk <= 0:
+                continue
+            # top-k with (cosine desc, neighbor_id asc) tie-break:
+            # lexsort on (-sims rounded, ids) per row
+            rounded = np.round(sims, 6)
+            order = np.lexsort(
+                (np.broadcast_to(ids_i, rounded.shape), -rounded), axis=1
+            )[:, :kk]
+            rows = np.repeat(q_ids, kk)
+            yield pd.DataFrame(
+                {
+                    "vec_id": rows,
+                    "neighbor_id": ids_i[order].ravel(),
+                    "rank": np.tile(np.arange(1, kk + 1, dtype=np.int32), len(q_ids)),
+                    "cosine": np.round(sims, 6)[
+                        np.arange(len(q_ids))[:, None], order
+                    ].ravel(),
+                }
+            )
+
+    return src.mapInPandas(gen, schema=TOPK_SCHEMA)
+
+
+def ann_lsh_topk(
+    emb: DataFrame,
+    k: int = 5,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Approximate top-k: multi-table random-hyperplane LSH.
+
+    ``n_tables`` independent hash tables of ``n_planes`` hyperplanes each;
+    a vector lands in one bucket per table (bucket key = (table, sign
+    bits)).  Exact GEMM search inside each bucket, then a global re-rank
+    merges per-table candidates: groupBy(vec, neighbor) dedup + window
+    top-k.  Shuffles: one groupBy on the bucket key (rows replicated
+    n_tables-fold) + one on vec_id for the merge — the distributable path
+    when the index cannot be broadcast.  Recall ≈ 1-(1-p^b)^L per neighbour
+    with p = 1-θ/π; raise n_tables (cost linear) or lower n_planes (bucket
+    sizes grow) to trade cost for recall.
+
+    Approximate by construction → no SQL oracle (driver rows-only check);
+    tests assert recall against ``cosine_topk``.
+    """
+    from pyspark.sql import Window
+
+    spark = emb.sparkSession
+    src = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+    if dim is None:
+        first = src.select(F.size("vec").alias("d")).first()
+        dim = int(first["d"]) if first else 0
+    rs = np.random.RandomState(seed)
+    planes = rs.standard_normal((n_tables, n_planes, dim))
+    bc_planes = spark.sparkContext.broadcast(planes)
+
+    def bucketize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pl = bc_planes.value
+        weights = (1 << np.arange(n_planes)).astype(np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids, mat = _normalized_matrix(pdf, "vec_id", "vec")
+            frames = []
+            for t in range(n_tables):
+                signs = (mat @ pl[t].T) >= 0.0  # (n, planes)
+                out = pdf[["vec_id", "vec"]].copy()
+                # bucket key: table id in the high bits, sign bits low
+                out["bucket"] = (signs @ weights) | (np.int64(t) << n_planes)
+                frames.append(out)
+            yield pd.concat(frames, ignore_index=True)
+
+    bucketed = src.mapInPandas(
+        bucketize, schema="vec_id bigint, vec array<float>, bucket bigint"
+    )
+
+    def per_bucket(key, pdf):
+        ids, mat = _normalized_matrix(pdf, "vec_id", "vec")
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame(
+                {"vec_id": [], "neighbor_id": [], "rank": [], "cosine": []}
+            ).astype(
+                {
+                    "vec_id": "int64",
+                    "neighbor_id": "int64",
+                    "rank": "int32",
+                    "cosine": "float64",
+                }
+            )
+        sims = mat @ mat.T
+        np.fill_diagonal(sims, -np.inf)
+        kk = min(k, n - 1)
+        rounded = np.round(sims, 6)
+        order = np.lexsort((np.broadcast_to(ids, sims.shape), -rounded), axis=1)[:, :kk]
+        return pd.DataFrame(
+            {
+                "vec_id": np.repeat(ids, kk),
+                "neighbor_id": ids[order].ravel(),
+                "rank": np.tile(np.arange(1, kk + 1, dtype=np.int32), n),
+                "cosine": rounded[np.arange(n)[:, None], order].ravel(),
+            }
+        )
+
+    per_table = bucketed.groupBy("bucket").applyInPandas(per_bucket, schema=TOPK_SCHEMA)
+    # merge across tables: dedup candidate pairs, re-rank globally per vector
+    merged = per_table.groupBy("vec_id", "neighbor_id").agg(
+        F.max("cosine").alias("cosine")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        merged.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def embedding_stats(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Per-vector norm/moments — JVM-side higher-order functions only."""
+    v = F.col(vec_col)
+    dbl = F.transform(v, lambda x: x.cast("double"))
+    sum_sq = F.aggregate(dbl, F.lit(0.0), lambda acc, x: acc + x * x)
+    total = F.aggregate(dbl, F.lit(0.0), lambda acc, x: acc + x)
+    return emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.size(v).cast("bigint").alias("dim"),
+        F.round(F.sqrt(sum_sq), 6).alias("l2_norm"),
+        F.round(total / F.size(v), 6).alias("mean_val"),
+        F.round(F.array_max(dbl), 6).alias("max_val"),
+        F.round(F.array_min(dbl), 6).alias("min_val"),
+    )

@@ -64,6 +64,33 @@ SELECT doc_id, score_en, score_de, score_es, score_fr, score_zh,
 FROM s ORDER BY doc_id
 """
 
+COSINE_TOPK_SQL = r"""
+WITH pairs AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]),
+               6) AS cosine
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+), ranked AS (
+  SELECT vec_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM pairs
+)
+SELECT vec_id, neighbor_id, CAST(rank AS INT) AS rank, cosine
+FROM ranked WHERE rank <= 5 ORDER BY vec_id, rank
+"""
+
+EMBEDDING_STATS_SQL = r"""
+SELECT vec_id,
+       CAST(len(embedding) AS BIGINT) AS dim,
+       ROUND(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 6)
+         AS l2_norm,
+       ROUND(list_sum(embedding::DOUBLE[]) / len(embedding), 6) AS mean_val,
+       ROUND(list_max(embedding::DOUBLE[]), 6) AS max_val,
+       ROUND(list_min(embedding::DOUBLE[]), 6) AS min_val
+FROM embeddings ORDER BY vec_id
+"""
+
 QUALITY_SCORE_SQL = r"""
 WITH q AS (
   SELECT doc_id,

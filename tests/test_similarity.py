@@ -1,0 +1,73 @@
+"""Embedding similarity: exact top-k sanity + ANN recall vs exact."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dedup_gpu_stream_parallelism_spark.operators import similarity as sim
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+def test_cosine_topk_exact_vs_numpy(spark, emb):
+    got = sim.cosine_topk(emb, k=3).collect()
+    pdf = emb.toPandas().sort_values("vec_id").reset_index(drop=True)
+    ids = pdf["vec_id"].to_numpy()
+    mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    mat = mat / np.linalg.norm(mat, axis=1)[:, None]
+    sims = mat @ mat.T
+    np.fill_diagonal(sims, -np.inf)
+    by_query = {}
+    for r in got:
+        by_query.setdefault(r.vec_id, []).append((r.rank, r.neighbor_id, r.cosine))
+    assert set(by_query) == set(ids.tolist())
+    for qi, qid in enumerate(ids[:50]):
+        want_order = np.lexsort((ids, -np.round(sims[qi], 6)))[:3]
+        got_rows = sorted(by_query[qid])
+        assert [n for _, n, _ in got_rows] == ids[want_order].tolist()
+        for (_, _, c), wi in zip(got_rows, want_order):
+            assert abs(c - round(float(sims[qi, wi]), 6)) < 1e-9
+
+
+def test_cosine_topk_shape(spark, emb):
+    n = emb.count()
+    df = sim.cosine_topk(emb, k=5)
+    assert df.count() == n * 5
+    assert df.groupBy("vec_id").count().where("count <> 5").count() == 0
+    # no self matches
+    assert df.where(F.col("vec_id") == F.col("neighbor_id")).count() == 0
+
+
+def test_ann_recall_vs_exact(spark, emb):
+    """Recall@5 of multi-table ANN against exact top-5 on RANDOM vectors —
+    the hardest case for hyperplane LSH (neighbours are near-orthogonal).
+    4 planes x 8 tables must clear a meaningful floor; ranks must be a
+    gapless 1..k per vector."""
+    exact = {
+        (r.vec_id, r.neighbor_id)
+        for r in sim.cosine_topk(emb, k=5).collect()
+    }
+    ann_rows = sim.ann_lsh_topk(emb, k=5, n_planes=4, n_tables=8).collect()
+    ann = {(r.vec_id, r.neighbor_id) for r in ann_rows}
+    recall = len(exact & ann) / len(exact)
+    assert recall >= 0.5, recall
+    by_vec = {}
+    for r in ann_rows:
+        by_vec.setdefault(r.vec_id, []).append(r.rank)
+    for ranks in by_vec.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_embedding_stats_values(spark, emb):
+    rows = sim.embedding_stats(emb).orderBy("vec_id").limit(20).collect()
+    pdf = emb.orderBy("vec_id").limit(20).toPandas()
+    for r, (_, p) in zip(rows, pdf.iterrows()):
+        v = np.asarray(p["embedding"], dtype=np.float64)
+        assert r.dim == v.shape[0]
+        assert abs(r.l2_norm - round(float(np.sqrt((v * v).sum())), 6)) < 1e-6
+        assert abs(r.mean_val - round(float(v.sum() / len(v)), 6)) < 1e-6
