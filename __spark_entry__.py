@@ -70,6 +70,65 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.clusters.orderBy("doc_id")
 
 
+def _signed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dedup_gpu_stream_parallelism_spark.functions.signatures import sign_documents
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return sign_documents(docs, text_col="text", cfg=CFG)
+
+
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return chunk_op.chunk_documents(_docs(spark, sf_dir), CFG, "doc_id", "text").orderBy(
+        "doc_id", "chunk_idx"
+    )
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exploded (doc_id, perm, mh) matrix; empty-signature docs excluded
+    (the oracle's shingle CTE has no rows for texts shorter than k)."""
+    return (
+        _signed(spark, sf_dir)
+        .where(F.col("n_shingles") > 0)
+        .select("doc_id", F.posexplode("minhash").alias("perm", "mh"))
+        .orderBy("doc_id", "perm")
+    )
+
+
+def q_simhash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _signed(spark, sf_dir).select("doc_id", "simhash").orderBy("doc_id")
+
+
+def q_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dedup_gpu_stream_parallelism_spark.operators import lsh as lsh_op
+
+    banded = lsh_op.band_keys(_signed(spark, sf_dir), CFG)
+    return lsh_op.candidate_pairs(banded, CFG, strategy="all_pairs").orderBy(
+        "a_id", "b_id"
+    )
+
+
+def q_confirmed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidates (LSH ∪ CDC) verified by Jaccard / suffix-array substring —
+    exact-integer (inter, uni) so the oracle compare is float-free."""
+    from dedup_gpu_stream_parallelism_spark.operators import lsh as lsh_op
+    from dedup_gpu_stream_parallelism_spark.operators import verify as verify_op
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    banded = lsh_op.band_keys(_signed(spark, sf_dir), CFG)
+    cands = (
+        lsh_op.candidate_pairs(banded, CFG, strategy="all_pairs")
+        .unionByName(
+            chunk_op.chunk_candidate_pairs(
+                chunk_op.chunk_documents(docs, CFG), CFG, strategy="all_pairs"
+            )
+        )
+        .distinct()
+    )
+    return verify_op.confirm_pairs(cands, docs, CFG).select(
+        "a_id", "b_id", "inter", "uni", "confirmed"
+    ).orderBy("a_id", "b_id")
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_op.text_stats(_docs(spark, sf_dir)).orderBy("doc_id")
 
@@ -104,8 +163,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_manifest": q_dedup_manifest,
         "dedup_stats": q_dedup_stats,
         "cdc_chunk_stats": q_cdc_chunk_stats,
-        # no oracle entry (iterative CC + suffix-array confirm): rows-only
         "near_dup_clusters": q_near_dup_clusters,
+        "cdc_chunks": q_cdc_chunks,
+        "minhash_signatures": q_minhash_signatures,
+        "simhash_values": q_simhash_values,
+        "lsh_candidates": q_lsh_candidates,
+        "confirmed_pairs": q_confirmed_pairs,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
@@ -165,4 +228,12 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": duck_sql.QUALITY_SCORE_SQL,
         "cosine_topk": duck_sql.COSINE_TOPK_SQL,
         "embedding_stats": duck_sql.EMBEDDING_STATS_SQL,
+        # full signature-pipeline oracles (bit-identical integer hashing)
+        "cdc_chunks": duck_sql.cdc_chunks_sql(),
+        "cdc_chunk_stats": duck_sql.cdc_chunk_stats_sql(),
+        "minhash_signatures": duck_sql.minhash_sql(CFG),
+        "simhash_values": duck_sql.simhash_sql(CFG),
+        "lsh_candidates": duck_sql.lsh_candidates_sql(CFG),
+        "confirmed_pairs": duck_sql.confirmed_pairs_sql(CFG),
+        "near_dup_clusters": duck_sql.cluster_sql(CFG),
     }

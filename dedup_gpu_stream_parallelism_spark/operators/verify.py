@@ -106,7 +106,8 @@ def jaccard_of(a: str, b: str, cfg: DedupConfig) -> tuple[int, int]:
 
 
 CONFIRM_SCHEMA = (
-    "a_id bigint, b_id bigint, jaccard double, lcs_len bigint, confirmed int"
+    "a_id bigint, b_id bigint, inter bigint, uni bigint, jaccard double, "
+    "lcs_len bigint, confirmed int"
 )
 
 
@@ -147,6 +148,8 @@ def confirm_pairs(
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             n = len(pdf)
+            inters = np.zeros(n, dtype=np.int64)
+            unions = np.zeros(n, dtype=np.int64)
             jac = np.zeros(n, dtype=np.float64)
             lcs = np.zeros(n, dtype=np.int64)
             conf = np.zeros(n, dtype=np.int32)
@@ -154,6 +157,7 @@ def confirm_pairs(
                 a = a or ""
                 b = b or ""
                 inter, union = jaccard_of(a, b, cfg)
+                inters[i], unions[i] = inter, union
                 j = inter / union if union else (1.0 if a == b else 0.0)
                 jac[i] = j
                 if j >= thr:
@@ -169,6 +173,8 @@ def confirm_pairs(
                 {
                     "a_id": pdf["a_id"].to_numpy(),
                     "b_id": pdf["b_id"].to_numpy(),
+                    "inter": inters,
+                    "uni": unions,
                     "jaccard": np.round(jac, 6),
                     "lcs_len": lcs,
                     "confirmed": conf,

@@ -15,6 +15,17 @@ Dialect notes (DuckDB 1.0 vs Spark):
 
 from __future__ import annotations
 
+from dedup_gpu_stream_parallelism_spark.config import (
+    BASE1,
+    BASE2,
+    MERSENNE,
+    DedupConfig,
+)
+from dedup_gpu_stream_parallelism_spark.operators.chunk import (
+    CDC_MODULUS,
+    CDC_WINDOW,
+)
+
 TEXT_STATS_SQL = r"""
 SELECT doc_id,
        CAST(length(text) AS BIGINT) AS n_chars,
@@ -120,4 +131,268 @@ SELECT doc_id,
        CAST(ROUND(0.25*len_score + 0.25*alpha_score + 0.25*stop_score
                   + 0.25*tok_score, 6) >= 0.5 AS INT) AS quality_ok
 FROM c ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Signature-pipeline oracle: the ENTIRE near-dup pipeline (shingles → MinHash
+# → LSH bands → CDC chunk keys → candidate pairs → Jaccard/256-gram confirm →
+# connected components) expressed in pure DuckDB SQL.  Same pinned integer
+# arithmetic as config.py, so every intermediate is bit-identical to the
+# Spark/numpy path.  Exact-integer outputs (inter/uni instead of a rounded
+# ratio) keep the value-hash float-proof.
+# ---------------------------------------------------------------------------
+
+
+def _weights(k: int, base: int) -> list[int]:
+    w, acc = [], 1
+    for _ in range(k):
+        w.append(acc)
+        acc = (acc * base) % MERSENNE
+    return w
+
+
+def _shingle_expr(k: int, base: int, text: str = "text", pos: str = "i") -> str:
+    """sum_j unicode(substr(text, i+j, 1)) * base^j mod P (1-based i)."""
+    terms = [
+        f"unicode(substr({text}, {pos}+{j}, 1))::BIGINT * {w}"
+        for j, w in enumerate(_weights(k, base))
+    ]
+    return f"({' + '.join(terms)}) % {MERSENNE}"
+
+
+def _perm_values(cfg: DedupConfig) -> str:
+    a, b = cfg.minhash_coeffs()
+    return ", ".join(f"({t}, {int(a[t])}, {int(b[t])})" for t in range(cfg.num_perm))
+
+
+def signature_ctes(cfg: DedupConfig) -> str:
+    """Shared CTE block (no WITH keyword) for all signature-pipeline oracles."""
+    k = cfg.shingle_k
+    r = cfg.lsh_rows
+    return f"""
+  shingles AS (
+    SELECT d.doc_id, t.i, {_shingle_expr(k, BASE1)} AS sh
+    FROM documents d, LATERAL unnest(generate_series(1, length(d.text) - {k} + 1)) AS t(i)
+    WHERE length(d.text) >= {k}
+  ),
+  shingles2 AS (
+    SELECT d.doc_id, t.i, {_shingle_expr(k, BASE2)} AS sh
+    FROM documents d, LATERAL unnest(generate_series(1, length(d.text) - {k} + 1)) AS t(i)
+    WHERE length(d.text) >= {k}
+  ),
+  perms(t, pa, pb) AS (VALUES {_perm_values(cfg)}),
+  minhash AS (
+    SELECT s.doc_id, p.t, MIN((p.pa * s.sh + p.pb) % {MERSENNE}) AS mh
+    FROM shingles s CROSS JOIN perms p GROUP BY s.doc_id, p.t
+  ),
+  bands AS (
+    SELECT doc_id, t // {r} AS band, list(mh ORDER BY t) AS bkey
+    FROM minhash GROUP BY doc_id, t // {r}
+  ),
+  lsh_pairs AS (
+    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+  )"""
+
+
+def cdc_ctes() -> str:
+    """CDC chunk CTEs (window={CDC_WINDOW}, avg chunk={CDC_MODULUS})."""
+    w = CDC_WINDOW
+    m = CDC_MODULUS
+    return f"""
+  cuts AS (
+    SELECT d.doc_id, t.i + {w - 1} AS q
+    FROM documents d, LATERAL unnest(generate_series(1, length(d.text) - {w})) AS t(i)
+    WHERE length(d.text) > {w}
+      AND ({_shingle_expr(w, BASE1)}) % {m} = 0
+  ),
+  bounds AS (
+    SELECT doc_id, q FROM cuts
+    UNION ALL
+    SELECT doc_id, length(text) AS q FROM documents WHERE length(text) > 0
+  ),
+  spans AS (
+    SELECT doc_id,
+           COALESCE(lag(q) OVER (PARTITION BY doc_id ORDER BY q), 0) + 1 AS s,
+           q AS e
+    FROM bounds
+  ),
+  chunk_rows AS (
+    SELECT sp.doc_id,
+           CAST(row_number() OVER (PARTITION BY sp.doc_id ORDER BY sp.s) - 1
+                AS BIGINT) AS chunk_idx,
+           CAST(sp.s - 1 AS BIGINT) AS chunk_start,
+           CAST(sp.e - sp.s + 1 AS BIGINT) AS chunk_len,
+           sha256(substr(d.text, sp.s, sp.e - sp.s + 1)) AS chunk_sha
+    FROM spans sp JOIN documents d USING (doc_id)
+  ),
+  cdc_pairs AS (
+    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+    FROM (SELECT DISTINCT doc_id, chunk_sha FROM chunk_rows WHERE chunk_len >= 64) a
+    JOIN (SELECT DISTINCT doc_id, chunk_sha FROM chunk_rows WHERE chunk_len >= 64) b
+      ON a.chunk_sha = b.chunk_sha AND a.doc_id < b.doc_id
+  )"""
+
+
+def confirm_ctes(cfg: DedupConfig) -> str:
+    sub = cfg.substring_min_len
+    thr = cfg.jaccard_threshold
+    return f"""
+  candidates AS (
+    SELECT a_id, b_id FROM lsh_pairs UNION SELECT a_id, b_id FROM cdc_pairs
+  ),
+  dsh AS (SELECT DISTINCT doc_id, sh FROM shingles),
+  shcnt AS (SELECT doc_id, COUNT(*) AS n FROM dsh GROUP BY doc_id),
+  isect AS (
+    SELECT c.a_id, c.b_id, COUNT(*) AS i
+    FROM candidates c
+    JOIN dsh x ON x.doc_id = c.a_id
+    JOIN dsh y ON y.doc_id = c.b_id AND y.sh = x.sh
+    GROUP BY c.a_id, c.b_id
+  ),
+  grams AS (
+    SELECT DISTINCT d.doc_id, sha256(substr(d.text, t.i, {sub})) AS g
+    FROM documents d, LATERAL unnest(generate_series(1, length(d.text) - {sub} + 1)) AS t(i)
+    WHERE length(d.text) >= {sub}
+  ),
+  gram_pairs AS (
+    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+    FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+  ),
+  confirmed AS (
+    SELECT c.a_id, c.b_id,
+           CAST(COALESCE(i.i, 0) AS BIGINT) AS inter,
+           CAST(na.n + nb.n - COALESCE(i.i, 0) AS BIGINT) AS uni,
+           CAST(
+             CASE WHEN COALESCE(i.i, 0) / CAST(na.n + nb.n - COALESCE(i.i, 0)
+                                               AS DOUBLE) >= {thr} THEN 1
+                  WHEN g.a_id IS NOT NULL THEN 1
+                  ELSE 0 END AS INT) AS confirmed
+    FROM candidates c
+    JOIN shcnt na ON na.doc_id = c.a_id
+    JOIN shcnt nb ON nb.doc_id = c.b_id
+    LEFT JOIN isect i ON i.a_id = c.a_id AND i.b_id = c.b_id
+    LEFT JOIN gram_pairs g ON g.a_id = c.a_id AND g.b_id = c.b_id
+  )"""
+
+
+def cluster_sql(cfg: DedupConfig | None = None) -> str:
+    """Full near_dup_clusters oracle: (doc_id, cluster_id) for every doc."""
+    cfg = cfg or DedupConfig()
+    return f"""
+WITH RECURSIVE
+{signature_ctes(cfg)},
+{cdc_ctes()},
+{confirm_ctes(cfg)},
+  exact_edges AS (
+    SELECT MIN(doc_id) OVER (PARTITION BY sha256(text)) AS a_id, doc_id AS b_id
+    FROM documents
+    QUALIFY doc_id <> a_id
+  ),
+  edges AS (
+    SELECT a_id, b_id FROM confirmed WHERE confirmed = 1
+    UNION SELECT a_id, b_id FROM exact_edges
+  ),
+  sym AS (
+    SELECT a_id AS s, b_id AS d FROM edges
+    UNION SELECT b_id AS s, a_id AS d FROM edges
+  ),
+  reach(v, lab) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT sym.d, reach.lab FROM reach JOIN sym ON sym.s = reach.v
+    WHERE reach.lab < sym.d
+  )
+SELECT v AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY v ORDER BY doc_id
+"""
+
+
+def confirmed_pairs_sql(cfg: DedupConfig | None = None) -> str:
+    cfg = cfg or DedupConfig()
+    return f"""
+WITH
+{signature_ctes(cfg)},
+{cdc_ctes()},
+{confirm_ctes(cfg)}
+SELECT a_id, b_id, inter, uni, confirmed FROM confirmed ORDER BY a_id, b_id
+"""
+
+
+def lsh_candidates_sql(cfg: DedupConfig | None = None) -> str:
+    cfg = cfg or DedupConfig()
+    return f"""
+WITH
+{signature_ctes(cfg)}
+SELECT a_id, b_id FROM lsh_pairs ORDER BY a_id, b_id
+"""
+
+
+def minhash_sql(cfg: DedupConfig | None = None) -> str:
+    """Exploded signature matrix: (doc_id, perm, mh)."""
+    cfg = cfg or DedupConfig()
+    return f"""
+WITH
+{signature_ctes(cfg)}
+SELECT doc_id, CAST(t AS INT) AS perm, mh FROM minhash ORDER BY doc_id, perm
+"""
+
+
+def simhash_sql(cfg: DedupConfig | None = None) -> str:
+    """(doc_id, simhash): 31 majority-vote bits per hash stream, packed
+    hi(BASE2)*2^31 + lo(BASE1); docs shorter than k get simhash 0."""
+    cfg = cfg or DedupConfig()
+    return f"""
+WITH
+{signature_ctes(cfg)},
+  bits(b) AS (SELECT unnest(generate_series(0, 30))),
+  votes_lo AS (
+    SELECT s.doc_id, b.b AS bit,
+           SUM(CASE WHEN (s.sh >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+    FROM shingles s CROSS JOIN bits b GROUP BY s.doc_id, b.b
+  ),
+  votes_hi AS (
+    SELECT s.doc_id, b.b AS bit,
+           SUM(CASE WHEN (s.sh >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+    FROM shingles2 s CROSS JOIN bits b GROUP BY s.doc_id, b.b
+  ),
+  lo AS (
+    SELECT doc_id, SUM(CASE WHEN v >= 0 THEN 1::BIGINT << bit ELSE 0 END) AS v
+    FROM votes_lo GROUP BY doc_id
+  ),
+  hi AS (
+    SELECT doc_id, SUM(CASE WHEN v >= 0 THEN 1::BIGINT << bit ELSE 0 END) AS v
+    FROM votes_hi GROUP BY doc_id
+  )
+SELECT d.doc_id,
+       COALESCE(hi.v * (1::BIGINT << 31) + lo.v, 0) AS simhash
+FROM documents d
+LEFT JOIN lo ON lo.doc_id = d.doc_id
+LEFT JOIN hi ON hi.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+def cdc_chunks_sql() -> str:
+    return f"""
+WITH
+{cdc_ctes()}
+SELECT doc_id, chunk_idx, chunk_start, chunk_len, chunk_sha
+FROM chunk_rows ORDER BY doc_id, chunk_idx
+"""
+
+
+def cdc_chunk_stats_sql() -> str:
+    return f"""
+WITH
+{cdc_ctes()}
+SELECT CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(COUNT(DISTINCT chunk_sha) AS BIGINT) AS n_unique_chunks,
+       CAST(COUNT(*) - COUNT(DISTINCT chunk_sha) AS BIGINT) AS n_duplicate_chunks,
+       CAST(SUM(chunk_len) AS BIGINT) AS total_chars,
+       ROUND(AVG(chunk_len), 6) AS mean_chunk_len,
+       ROUND(COUNT(*) / CAST(COUNT(DISTINCT chunk_sha) AS DOUBLE), 6)
+         AS chunk_dedup_factor
+FROM chunk_rows
 """
