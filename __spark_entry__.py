@@ -98,6 +98,14 @@ def q_simhash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _signed(spark, sf_dir).select("doc_id", "simhash").orderBy("doc_id")
 
 
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dedup_gpu_stream_parallelism_spark.operators import simhash as simhash_op
+
+    return simhash_op.simhash_near_dup_pairs(
+        _signed(spark, sf_dir), CFG, max_hamming=15, n_chunks=16
+    ).orderBy("a_id", "b_id")
+
+
 def q_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dedup_gpu_stream_parallelism_spark.operators import lsh as lsh_op
 
@@ -168,6 +176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "simhash_values": q_simhash_values,
         "lsh_candidates": q_lsh_candidates,
+        "simhash_near_dup": q_simhash_near_dup,
         "confirmed_pairs": q_confirmed_pairs,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
@@ -234,6 +243,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": duck_sql.minhash_sql(CFG),
         "simhash_values": duck_sql.simhash_sql(CFG),
         "lsh_candidates": duck_sql.lsh_candidates_sql(CFG),
+        "simhash_near_dup": duck_sql.simhash_near_dup_sql(CFG, max_hamming=15),
         "confirmed_pairs": duck_sql.confirmed_pairs_sql(CFG),
         "near_dup_clusters": duck_sql.cluster_sql(CFG),
     }

@@ -1,0 +1,72 @@
+"""SimHash Hamming-distance near-dup pairs — banded, exact by pigeonhole.
+
+The reference probes "have I seen (almost) this before?" through one global
+hash table (/root/reference/src/encoder.cpp:481-524); SimHash generalizes
+the probe to Hamming proximity.  Blocking: split the 62-bit fingerprint
+into ``n_chunks`` bit-slices; any pair within Hamming distance
+``max_hamming < n_chunks`` must agree EXACTLY on at least one slice
+(pigeonhole), so grouping by (slice index, slice value) is a complete
+candidate generator — recall 1.0 by construction, verified by an exact
+``bit_count(xor)`` filter.
+
+Scale: the slice groupBy is one hash exchange (same shape as MinHash-LSH
+banding, operators/lsh.py — the candidate_pairs kernel is reused).  Slice
+width trades bucket size against candidate count: 4 bits/slice at
+max_hamming=15 suits ~10^3-10^5 docs; at 10^9+ use max_hamming=3 with 4
+slices of 16 bits so buckets stay ~n/65536.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dedup_gpu_stream_parallelism_spark.config import DedupConfig
+from dedup_gpu_stream_parallelism_spark.operators import lsh as lsh_op
+
+SIMHASH_BITS = 62
+
+
+def simhash_near_dup_pairs(
+    signed: DataFrame,
+    cfg: DedupConfig | None = None,
+    max_hamming: int = 15,
+    n_chunks: int = 16,
+    strategy: str = "all_pairs",
+) -> DataFrame:
+    """(a_id, b_id, hamming) for every pair within ``max_hamming``.
+
+    ``signed`` needs (doc_id, simhash, n_shingles); docs with empty shingle
+    sets are excluded (their simhash 0 is a sentinel, not a fingerprint —
+    the sha256 path owns them, operators/lsh.py has the same rule).
+    """
+    cfg = cfg or DedupConfig()
+    assert max_hamming < n_chunks, "pigeonhole completeness needs t < B"
+    width = -(-SIMHASH_BITS // n_chunks)
+    sim = signed.where(F.col("n_shingles") > 0).select("doc_id", "simhash")
+
+    mask = (1 << width) - 1
+    keys = F.array(
+        *[
+            F.xxhash64(
+                F.lit(c),
+                F.shiftright(F.col("simhash"), c * width).bitwiseAND(F.lit(mask)),
+            )
+            for c in range(n_chunks)
+        ]
+    )
+    banded = sim.select("doc_id", F.posexplode(keys).alias("band", "band_key"))
+    cands = lsh_op.candidate_pairs(banded, cfg, strategy=strategy)
+
+    a = sim.select(F.col("doc_id").alias("a_id"), F.col("simhash").alias("a_sim"))
+    b = sim.select(F.col("doc_id").alias("b_id"), F.col("simhash").alias("b_sim"))
+    return (
+        cands.join(a, "a_id")
+        .join(b, "b_id")
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("a_sim").bitwiseXOR(F.col("b_sim"))).cast("int"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("a_id", "b_id", "hamming")
+    )

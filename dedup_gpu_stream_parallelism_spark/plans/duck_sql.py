@@ -396,3 +396,22 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_chunks,
          AS chunk_dedup_factor
 FROM chunk_rows
 """
+
+
+def simhash_near_dup_sql(cfg: DedupConfig | None = None, max_hamming: int = 15) -> str:
+    """Exact Hamming-ball pairs via brute-force cross join (the banded Spark
+    operator is complete for t < n_chunks, so the results must be equal)."""
+    cfg = cfg or DedupConfig()
+    sim_inner = simhash_sql(cfg)
+    return f"""
+WITH sim AS (
+  SELECT * FROM ({sim_inner})
+  WHERE doc_id IN (SELECT doc_id FROM documents
+                   WHERE length(text) >= {cfg.shingle_k})
+)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+ORDER BY a_id, b_id
+"""
