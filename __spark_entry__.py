@@ -165,6 +165,32 @@ def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_op.embedding_stats(_emb(spark, sf_dir)).orderBy("vec_id")
 
 
+def q_event_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly tumbling-window event rollup — the batch twin of
+    streaming.dedup_stream.windowed_event_stats (exact countDistinct here;
+    the unbounded-stream version uses approx_count_distinct + watermark)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(
+            F.window(F.col("ts").cast("timestamp"), "1 hour").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_epoch"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "n_users",
+        )
+        .orderBy("window_start_epoch", "event_type")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dup_clusters": q_exact_dup_clusters,
@@ -186,6 +212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # against cosine_topk in tests/test_similarity.py)
         "ann_lsh_topk": q_ann_lsh_topk,
         "embedding_stats": q_embedding_stats,
+        "event_window_stats": q_event_window_stats,
     }
 
 
@@ -237,6 +264,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": duck_sql.QUALITY_SCORE_SQL,
         "cosine_topk": duck_sql.COSINE_TOPK_SQL,
         "embedding_stats": duck_sql.EMBEDDING_STATS_SQL,
+        "event_window_stats": duck_sql.EVENT_WINDOW_STATS_SQL,
         # full signature-pipeline oracles (bit-identical integer hashing)
         "cdc_chunks": duck_sql.cdc_chunks_sql(),
         "cdc_chunk_stats": duck_sql.cdc_chunk_stats_sql(),

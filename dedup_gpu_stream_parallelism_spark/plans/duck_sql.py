@@ -415,3 +415,14 @@ FROM sim a JOIN sim b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 ORDER BY a_id, b_id
 """
+
+
+EVENT_WINDOW_STATS_SQL = r"""
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start_epoch,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 6) AS sum_value,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY 1, 2 ORDER BY 1, 2
+"""

