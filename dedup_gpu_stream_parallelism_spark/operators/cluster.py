@@ -81,7 +81,25 @@ def clusters_from_pairs(
     confirmed_pairs: DataFrame,
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Every doc in exactly one cluster (round-trip invariant, FIXTURES.md §5)."""
-    vertices = docs.select(id_col).distinct()
-    edges = confirmed_pairs.select("a_id", "b_id")
-    return connected_components(vertices, edges, id_col=id_col)
+    """Every doc in exactly one cluster (round-trip invariant, FIXTURES.md §5).
+
+    The duplicate graph is SPARSE (most docs are singletons), so the
+    iterative CC runs only over edge-touched vertices and singletons join
+    back with cluster_id = their own id — at corpus scale this shrinks
+    every CC shuffle from |corpus| to |dup subgraph| rows.
+    """
+    edges = confirmed_pairs.select("a_id", "b_id").localCheckpoint()
+    touched = (
+        edges.select(F.col("a_id").alias(id_col))
+        .unionByName(edges.select(F.col("b_id").alias(id_col)))
+        .distinct()
+    )
+    cc = connected_components(touched, edges, id_col=id_col)
+    return (
+        docs.select(F.col(id_col))
+        .distinct()
+        .join(cc, id_col, "left")
+        .select(
+            id_col, F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id")
+        )
+    )

@@ -141,6 +141,15 @@ def confirm_pairs(
     joined = pairs.join(da, "a_id").join(db, "b_id").select(
         "a_id", "b_id", "a_text", "b_text"
     )
+    # The joins leave the data partitioned by id — and a star-strategy hub
+    # appears in O(bucket) pairs, so one partition would hold ALL of a hot
+    # doc's verifies (measured: one 77 s straggler task while 7 cores
+    # idled).  Verification is per-pair independent — break the key skew
+    # with a round-robin repartition (the reference's round-robin queue
+    # feed, src/encoder.cpp:1152-1156); 4x tasks/core smooths the
+    # heavy-tail pair costs.
+    spark = pairs.sparkSession
+    joined = joined.repartition(4 * spark.sparkContext.defaultParallelism)
 
     thr = cfg.jaccard_threshold
     min_len = cfg.substring_min_len

@@ -45,7 +45,9 @@ def ensure_corpus(n_files: int, seed: int = 42) -> str:
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--n-files", type=int, default=100_000)
-    p.add_argument("--n-cores", type=int, default=8)
+    # N=2 (vs 4N=8): the widest 4x span where this guest's vCPUs are real
+    # silicon — see BENCH.md "Why N=2"
+    p.add_argument("--n-cores", type=int, default=2)
     p.add_argument("--repeats", type=int, default=1)
     p.add_argument("--strategy", default="star")
     args = p.parse_args()
