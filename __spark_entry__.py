@@ -137,6 +137,16 @@ def q_confirmed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("a_id", "b_id")
 
 
+def q_roundtrip_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode (manifest + unique store) then decode and re-verify sha256 —
+    the reference's dedup -u round-trip as a query (decoder.cpp:200-291)."""
+    docs = _docs(spark, sf_dir)
+    manifest, store = exact_op.encode_store(docs, "doc_id", "text")
+    return exact_op.decode_roundtrip(manifest, store).select(
+        "doc_id", "sha256", "sha_ok"
+    ).orderBy("doc_id")
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_op.text_stats(_docs(spark, sf_dir)).orderBy("doc_id")
 
@@ -204,6 +214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_candidates": q_lsh_candidates,
         "simhash_near_dup": q_simhash_near_dup,
         "confirmed_pairs": q_confirmed_pairs,
+        "roundtrip_check": q_roundtrip_check,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
@@ -258,6 +269,10 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(COUNT(*) / CAST(COUNT(DISTINCT sha256) AS DOUBLE), 6)
                      AS dedup_factor
             FROM m
+        """,
+        "roundtrip_check": """
+            SELECT doc_id, sha256(text) AS sha256, 1 AS sha_ok
+            FROM documents ORDER BY doc_id
         """,
         "text_stats": duck_sql.TEXT_STATS_SQL,
         "lang_id": duck_sql.LANG_ID_SQL,

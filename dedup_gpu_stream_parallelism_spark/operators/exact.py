@@ -74,6 +74,56 @@ def dedup_manifest(
     )
 
 
+def encode_store(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """(manifest, unique_store) — the two tables the ``.ddp`` stream encodes:
+    manifest rows for every input (duplicates carry only the sha FK), and
+    payload text stored ONCE per distinct sha (representative's row).
+    """
+    manifest = dedup_manifest(df, id_col, text_col)
+    reps = manifest.where(F.col("is_duplicate") == 0).select(
+        F.col("doc_id").alias("_rep_id"), "sha256"
+    )
+    store = reps.join(
+        df.select(F.col(id_col).alias("_rep_id"), F.col(text_col).alias("payload")),
+        "_rep_id",
+    ).select("sha256", "payload")
+    return manifest, store
+
+
+def decode_roundtrip(
+    manifest: DataFrame,
+    store: DataFrame,
+    strict: bool = True,
+) -> DataFrame:
+    """The inverse query — the reference's ``dedup -u`` round-trip oracle
+    (Decode, /root/reference/src/decoder.cpp:200-291): rebuild every doc's
+    text from (manifest ⋈ unique store) and re-verify sha256(payload) ==
+    manifest.sha256 row by row.  ``strict`` mirrors the decoder's hard
+    error on a duplicate whose representative is missing
+    (src/decoder.cpp:268-271).
+
+    Returns (doc_id, sha256, payload, sha_ok int).
+    """
+    rebuilt = manifest.join(store, "sha256", "left").select(
+        "doc_id",
+        "sha256",
+        "payload",
+        (F.sha2(F.coalesce("payload", F.lit("")), 256) == F.col("sha256"))
+        .cast("int")
+        .alias("sha_ok"),
+    )
+    if strict:
+        missing = rebuilt.where(F.col("payload").isNull()).count()
+        if missing:
+            raise ValueError(
+                f"referential integrity violated: {missing} manifest rows "
+                "have no representative payload in the unique store"
+            )
+    return rebuilt
+
+
 def dedup_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """The ``-v`` statistics block (print_stats, src/encoder.cpp:131-177):
     total rows/chars, distinct content, duplicate count, dedup factor.

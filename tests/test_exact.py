@@ -54,3 +54,37 @@ def test_dedup_stats(spark, corpus_df, corpus):
     assert s.n_rows == len(rows)
     assert s.n_unique == len({r["content"] for r in rows})
     assert s.n_duplicates == s.n_rows - s.n_unique
+
+
+def test_encode_decode_roundtrip(spark, corpus_df):
+    """Encode to (manifest, unique store), decode, verify every payload —
+    the reference's dedup -u oracle (decoder.cpp:200-291)."""
+    from dedup_gpu_stream_parallelism_spark.operators import exact as exact_op
+    from pyspark.sql import functions as F
+
+    docs = corpus_df.select(
+        F.col("file_id").alias("doc_id"), F.col("content").alias("text")
+    )
+    manifest, store = exact_op.encode_store(docs)
+    # store holds each payload exactly once
+    assert store.count() == store.select("sha256").distinct().count()
+    rebuilt = exact_op.decode_roundtrip(manifest, store)
+    assert rebuilt.count() == docs.count()
+    assert rebuilt.where("sha_ok <> 1").count() == 0
+    # rebuilt text equals the original text for every doc
+    joined = rebuilt.join(docs, "doc_id")
+    assert joined.where(F.col("payload") != F.col("text")).count() == 0
+
+
+def test_decode_strict_fails_on_missing_representative(spark, corpus_df):
+    import pytest
+    from dedup_gpu_stream_parallelism_spark.operators import exact as exact_op
+    from pyspark.sql import functions as F
+
+    docs = corpus_df.select(
+        F.col("file_id").alias("doc_id"), F.col("content").alias("text")
+    )
+    manifest, store = exact_op.encode_store(docs)
+    broken = store.limit(0)  # empty store: every row missing
+    with pytest.raises(ValueError, match="referential integrity"):
+        exact_op.decode_roundtrip(manifest, broken)
