@@ -147,6 +147,16 @@ def q_roundtrip_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_compression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compress stage stats over the unique-payload store (gzip) — the -v
+    compression factors (encoder.cpp:150-167).  Rows-only check: zlib
+    output bytes are not SQL-computable."""
+    from dedup_gpu_stream_parallelism_spark.operators import compress as cz
+
+    _, store = exact_op.encode_store(_docs(spark, sf_dir), "doc_id", "text")
+    return cz.compression_stats(cz.compress_store(store, cz.COMPRESS_GZIP))
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_op.text_stats(_docs(spark, sf_dir)).orderBy("doc_id")
 
@@ -215,6 +225,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dup": q_simhash_near_dup,
         "confirmed_pairs": q_confirmed_pairs,
         "roundtrip_check": q_roundtrip_check,
+        # rows-only: compressed byte counts are not SQL-computable
+        "compression_stats": q_compression_stats,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
