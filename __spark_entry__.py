@@ -157,6 +157,15 @@ def q_compression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cz.compression_stats(cz.compress_store(store, cz.COMPRESS_GZIP))
 
 
+def q_lzss_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc LZSS-size estimate via suffix-array LPF + greedy emit — the
+    reference's batch-matcher contract (matcher_sequential.cpp:10-79,
+    lzss_gpu.cpp:138-172).  Rows-only: LPF is not SQL-expressible."""
+    from dedup_gpu_stream_parallelism_spark.functions.lpf import lzss_estimate_docs
+
+    return lzss_estimate_docs(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_op.text_stats(_docs(spark, sf_dir)).orderBy("doc_id")
 
@@ -227,6 +236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_check": q_roundtrip_check,
         # rows-only: compressed byte counts are not SQL-computable
         "compression_stats": q_compression_stats,
+        "lzss_estimate": q_lzss_estimate,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
