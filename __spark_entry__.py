@@ -102,7 +102,7 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dedup_gpu_stream_parallelism_spark.operators import simhash as simhash_op
 
     return simhash_op.simhash_near_dup_pairs(
-        _signed(spark, sf_dir), CFG, max_hamming=15, n_chunks=16
+        _signed(spark, sf_dir), CFG, max_hamming=7, n_chunks=8
     ).orderBy("a_id", "b_id")
 
 
@@ -308,7 +308,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": duck_sql.minhash_sql(CFG),
         "simhash_values": duck_sql.simhash_sql(CFG),
         "lsh_candidates": duck_sql.lsh_candidates_sql(CFG),
-        "simhash_near_dup": duck_sql.simhash_near_dup_sql(CFG, max_hamming=15),
+        "simhash_near_dup": duck_sql.simhash_near_dup_sql(CFG, max_hamming=7),
         "confirmed_pairs": duck_sql.confirmed_pairs_sql(CFG),
         "near_dup_clusters": duck_sql.cluster_sql(CFG),
     }

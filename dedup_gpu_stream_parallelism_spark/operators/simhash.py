@@ -10,10 +10,12 @@ candidate generator — recall 1.0 by construction, verified by an exact
 ``bit_count(xor)`` filter.
 
 Scale: the slice groupBy is one hash exchange (same shape as MinHash-LSH
-banding, operators/lsh.py — the candidate_pairs kernel is reused).  Slice
-width trades bucket size against candidate count: 4 bits/slice at
-max_hamming=15 suits ~10^3-10^5 docs; at 10^9+ use max_hamming=3 with 4
-slices of 16 bits so buckets stay ~n/65536.
+banding, operators/lsh.py — the candidate_pairs kernel is reused).
+Candidate volume ~ B * (n / 2^width)^2, so slice WIDTH is the scale knob:
+8-bit slices (max_hamming=7) suit ~10^4-10^6 docs; at 10^9+ use
+max_hamming=3 with 4 slices of 16 bits so buckets stay ~n/65536.  4-bit
+slices are quadratic at ANY n (only 16 buckets per slice) — measured 45 s
+at a mere 5000 docs; avoid.
 """
 
 from __future__ import annotations
@@ -30,8 +32,8 @@ SIMHASH_BITS = 62
 def simhash_near_dup_pairs(
     signed: DataFrame,
     cfg: DedupConfig | None = None,
-    max_hamming: int = 15,
-    n_chunks: int = 16,
+    max_hamming: int = 7,
+    n_chunks: int = 8,
     strategy: str = "all_pairs",
 ) -> DataFrame:
     """(a_id, b_id, hamming) for every pair within ``max_hamming``.
