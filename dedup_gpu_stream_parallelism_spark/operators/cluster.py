@@ -76,10 +76,29 @@ def connected_components(
     return labels.select(F.col("v").alias(id_col), F.col("lab").alias("cluster_id"))
 
 
+def _driver_union_find(edge_rows) -> list[tuple[int, int]]:
+    """In-memory union-find over collected edges (small-graph fast path)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_rows:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return [(v, find(v)) for v in list(parent)]
+
+
 def clusters_from_pairs(
     docs: DataFrame,
     confirmed_pairs: DataFrame,
     id_col: str = "doc_id",
+    driver_max_edges: int = 1_000_000,
 ) -> DataFrame:
     """Every doc in exactly one cluster (round-trip invariant, FIXTURES.md §5).
 
@@ -87,18 +106,39 @@ def clusters_from_pairs(
     iterative CC runs only over edge-touched vertices and singletons join
     back with cluster_id = their own id — at corpus scale this shrinks
     every CC shuffle from |corpus| to |dup subgraph| rows.
+
+    Adaptive strategy (the same runtime-stats trick AQE uses for join
+    selection): when the edge set fits comfortably on the driver
+    (< ``driver_max_edges``), a collected union-find replaces 3-4 rounds of
+    distributed label propagation — each round costs several scheduled jobs,
+    which dominates wall time on small dup graphs.  Past the threshold the
+    checkpointed iterative path (``connected_components``) runs unchanged;
+    that is the 10^12-file path.
     """
+    spark = docs.sparkSession
     edges = confirmed_pairs.select("a_id", "b_id").localCheckpoint()
-    touched = (
-        edges.select(F.col("a_id").alias(id_col))
-        .unionByName(edges.select(F.col("b_id").alias(id_col)))
-        .distinct()
-    )
-    cc = connected_components(touched, edges, id_col=id_col)
+    n_edges = edges.count()
+
+    if n_edges <= driver_max_edges:
+        labels = _driver_union_find(
+            [(r[0], r[1]) for r in edges.collect()]
+        )
+        if labels:
+            cc = spark.createDataFrame(labels, f"{id_col} long, cluster_id long")
+        else:
+            cc = spark.createDataFrame([], f"{id_col} long, cluster_id long")
+    else:
+        touched = (
+            edges.select(F.col("a_id").alias(id_col))
+            .unionByName(edges.select(F.col("b_id").alias(id_col)))
+            .distinct()
+        )
+        cc = connected_components(touched, edges, id_col=id_col)
+
     return (
         docs.select(F.col(id_col))
         .distinct()
-        .join(cc, id_col, "left")
+        .join(F.broadcast(cc) if n_edges <= driver_max_edges else cc, id_col, "left")
         .select(
             id_col, F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id")
         )

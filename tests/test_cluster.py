@@ -53,3 +53,25 @@ def test_random_graphs_match_union_find(spark):
             }
         )
         _run(spark, n, edges)
+
+
+def test_distributed_path_equals_driver_path(spark):
+    """clusters_from_pairs must give identical clusters whichever CC
+    strategy the edge-count threshold selects."""
+    from dedup_gpu_stream_parallelism_spark.operators.cluster import clusters_from_pairs
+
+    docs = spark.createDataFrame([(i,) for i in range(40)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(0, 5), (5, 9), (9, 13), (20, 21), (21, 22), (30, 31)],
+        "a_id long, b_id long",
+    )
+    fast = {
+        (r.doc_id, r.cluster_id)
+        for r in clusters_from_pairs(docs, edges, driver_max_edges=10**6).collect()
+    }
+    dist = {
+        (r.doc_id, r.cluster_id)
+        for r in clusters_from_pairs(docs, edges, driver_max_edges=0).collect()
+    }
+    assert fast == dist
+    assert (13, 0) in fast and (22, 20) in fast and (31, 30) in fast
