@@ -31,7 +31,9 @@ SIGNATURE_FIELDS = (
 )
 
 
-def _sign_batch(pdf: pd.DataFrame, text_col: str, cfg: DedupConfig) -> pd.DataFrame:
+def _sign_batch(
+    pdf: pd.DataFrame, text_col: str, cfg: DedupConfig, keep_text: bool = False
+) -> pd.DataFrame:
     texts = pdf[text_col].fillna("").tolist()
     flat1, starts = hashing.batch_shingle_hashes(texts, cfg.shingle_k, BASE1)
     flat2, _ = hashing.batch_shingle_hashes(texts, cfg.shingle_k, BASE2)
@@ -48,7 +50,7 @@ def _sign_batch(pdf: pd.DataFrame, text_col: str, cfg: DedupConfig) -> pd.DataFr
         ],
         dtype=np.int64,
     )
-    out = pdf.drop(columns=[text_col]).copy()
+    out = (pdf.copy() if keep_text else pdf.drop(columns=[text_col]).copy())
     out["sha256"] = [hashlib.sha256(t.encode("utf-8")).hexdigest() for t in texts]
     out["n_chars"] = np.array([len(t) for t in texts], dtype=np.int64)
     out["n_shingles"] = seg_len
@@ -67,7 +69,9 @@ def sign_documents(
     """Append signature columns to ``df`` (dropping the text column unless
     ``keep_text``).  All other columns pass through unchanged."""
     cfg = cfg or DedupConfig()
-    passthrough = [f for f in df.schema.fields if f.name != text_col]
+    passthrough = [
+        f for f in df.schema.fields if keep_text or f.name != text_col
+    ]
     schema = (
         ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in passthrough)
         + ", "
@@ -76,13 +80,9 @@ def sign_documents(
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield _sign_batch(pdf, text_col, cfg)
+            yield _sign_batch(pdf, text_col, cfg, keep_text=keep_text)
 
-    signed = df.mapInPandas(gen, schema=schema)
-    if keep_text:
-        # re-attach content by sha256-free join key: caller should retain it
-        raise NotImplementedError("keep_text: join content back on the id column")
-    return signed
+    return df.mapInPandas(gen, schema=schema)
 
 
 def with_sha256(df: DataFrame, text_col: str = "content") -> DataFrame:
