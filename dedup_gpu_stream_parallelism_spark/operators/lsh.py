@@ -55,6 +55,7 @@ def candidate_pairs(
     banded: DataFrame,
     cfg: DedupConfig | None = None,
     strategy: str = "all_pairs",
+    salt_buckets: int = 16,
 ) -> DataFrame:
     """Distinct (a_id, b_id) candidate pairs, a_id < b_id.
 
@@ -65,18 +66,42 @@ def candidate_pairs(
     pairs, connectivity preserved through the hub, so clustering is
     unaffected; only non-hub pair scores are lost.
 
-    One shuffle total: the groupBy(band_key) hash exchange IS the
-    "repartition by band hash" of the north rule; pair expansion happens
-    JVM-side on the grouped id arrays (no second join shuffle, no
-    per-row Python).
+    The groupBy(band_key) hash exchange IS the "repartition by band hash"
+    of the north rule; pair expansion happens JVM-side on the grouped id
+    arrays (no second join shuffle, no per-row Python).
+
+    ``salt_buckets > 1`` salts hot band keys through a two-phase
+    aggregation: phase 1 groups by (band_key, salt(doc_id)) so a viral
+    bucket's collect_set spreads over ``salt_buckets`` reducers instead of
+    one; phase 2 merges the (already id-deduped, much smaller) partial
+    arrays per band_key.  Identical results; the monster-bucket hotspot is
+    the reference's per-bucket-lock contention (src/encoder.cpp:498-499)
+    re-appearing as a single-reducer task, and salting is the Spark cure.
     """
     cfg = cfg or DedupConfig()
 
-    grouped = (
-        banded.groupBy("band_key")
-        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
-        .where(F.size("ids") >= 2)
-    )
+    if salt_buckets > 1:
+        salted = banded.withColumn(
+            "_salt", F.pmod(F.xxhash64("doc_id"), F.lit(salt_buckets))
+        )
+        partial = salted.groupBy("band_key", "_salt").agg(
+            F.collect_set("doc_id").alias("_ids")
+        )
+        grouped = (
+            partial.groupBy("band_key")
+            .agg(
+                F.sort_array(
+                    F.array_distinct(F.flatten(F.collect_list("_ids")))
+                ).alias("ids")
+            )
+            .where(F.size("ids") >= 2)
+        )
+    else:
+        grouped = (
+            banded.groupBy("band_key")
+            .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+            .where(F.size("ids") >= 2)
+        )
     ids = F.col("ids")
     # all pairs (i < j) from the sorted id array, built with array exprs
     all_pairs_expr = F.flatten(
