@@ -194,6 +194,15 @@ def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_op.embedding_stats(_emb(spark, sf_dir)).orderBy("vec_id")
 
 
+def q_event_props_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dup statistics over the events.props payload column — the same
+    groupBy-as-hash-table dedup applied to a second table shape."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("event_id").alias("doc_id"), F.col("props").alias("text")
+    )
+    return exact_op.dedup_stats(ev, "doc_id", "text")
+
+
 def q_event_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly tumbling-window event rollup — the batch twin of
     streaming.dedup_stream.windowed_event_stats (exact countDistinct here;
@@ -246,6 +255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "embedding_stats": q_embedding_stats,
         "event_window_stats": q_event_window_stats,
+        "event_props_dedup": q_event_props_dedup,
     }
 
 
@@ -302,6 +312,23 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk": duck_sql.COSINE_TOPK_SQL,
         "embedding_stats": duck_sql.EMBEDDING_STATS_SQL,
         "event_window_stats": duck_sql.EVENT_WINDOW_STATS_SQL,
+        "event_props_dedup": """
+            WITH m AS (
+              SELECT event_id AS doc_id, sha256(props) AS sha256,
+                     length(props) AS _len,
+                     MIN(event_id) OVER (PARTITION BY sha256(props)) AS rep
+              FROM events
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(COUNT(DISTINCT sha256) AS BIGINT) AS n_unique,
+                   CAST(SUM(CASE WHEN doc_id <> rep THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_duplicates,
+                   CAST(SUM(CASE WHEN doc_id = rep THEN _len ELSE 0 END) AS BIGINT)
+                     AS unique_chars,
+                   ROUND(COUNT(*) / CAST(COUNT(DISTINCT sha256) AS DOUBLE), 6)
+                     AS dedup_factor
+            FROM m
+        """,
         # full signature-pipeline oracles (bit-identical integer hashing)
         "cdc_chunks": duck_sql.cdc_chunks_sql(),
         "cdc_chunk_stats": duck_sql.cdc_chunk_stats_sql(),

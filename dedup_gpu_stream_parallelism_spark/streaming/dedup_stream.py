@@ -97,16 +97,30 @@ class NearDupStream:
     micro-batch: sign → LSH band keys → join against the index's band keys
     → emit (new_doc_id, matched_doc_id) candidates → append batch
     signatures to the index.  Confirmation (Jaccard / suffix array) runs
-    downstream on the emitted candidates exactly as in the batch pipeline.
+    downstream on the emitted candidates exactly as in the batch pipeline,
+    or inside the micro-batch with ``confirm=True``: every cross-batch
+    candidate is verified with the batch verify kernel (Jaccard +
+    suffix-array, operators/verify.py) against a text side-index — the
+    full probe→verify→insert cycle per batch.
     """
 
-    def __init__(self, index_dir: str, out_dir: str, cfg: DedupConfig | None = None):
+    def __init__(
+        self,
+        index_dir: str,
+        out_dir: str,
+        cfg: DedupConfig | None = None,
+        confirm: bool = False,
+    ):
         self.index_dir = index_dir
         self.out_dir = out_dir
         self.cfg = cfg or DedupConfig()
+        self.confirm = confirm
 
     def _index_path(self) -> str:
         return os.path.join(self.index_dir, "bands")
+
+    def _texts_path(self) -> str:
+        return os.path.join(self.index_dir, "texts")
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -119,9 +133,11 @@ class NearDupStream:
             text_col="text",
             cfg=cfg,
         )
+        batch_txt = batch_df.select(
+            F.col("doc_id").cast("bigint").alias("doc_id"), F.col("text")
+        ).localCheckpoint()
         banded = lsh_op.band_keys(signed, cfg).localCheckpoint()
         path = self._index_path()
-        matches = None
         if os.path.exists(os.path.join(path, "_SUCCESS")):
             index = spark.read.parquet(path)
             matches = (
@@ -133,19 +149,39 @@ class NearDupStream:
                     F.col("o.doc_id").alias("matched_id"),
                 )
                 .distinct()
-                .withColumn("batch_id", F.lit(batch_id))
             )
         else:
-            matches = (
-                banded.limit(0)
-                .select(
-                    F.col("doc_id"),
-                    F.col("doc_id").alias("matched_id"),
-                )
-                .withColumn("batch_id", F.lit(batch_id))
+            matches = banded.limit(0).select(
+                F.col("doc_id"), F.col("doc_id").alias("matched_id")
             )
-        matches.write.mode("append").parquet(self.out_dir)
+
+        if self.confirm:
+            from dedup_gpu_stream_parallelism_spark.operators import verify as verify_op
+
+            texts_path = self._texts_path()
+            if os.path.exists(os.path.join(texts_path, "_SUCCESS")):
+                all_txt = batch_txt.unionByName(spark.read.parquet(texts_path))
+            else:
+                all_txt = batch_txt
+            pairs = matches.select(
+                F.col("matched_id").alias("a_id"), F.col("doc_id").alias("b_id")
+            )
+            out = verify_op.confirm_pairs(pairs, all_txt, cfg).select(
+                F.col("b_id").alias("doc_id"),
+                F.col("a_id").alias("matched_id"),
+                "inter",
+                "uni",
+                "lcs_len",
+                "confirmed",
+            )
+        else:
+            out = matches
+        out.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            self.out_dir
+        )
         banded.select("doc_id", "band", "band_key").write.mode("append").parquet(path)
+        if self.confirm:
+            batch_txt.write.mode("append").parquet(self._texts_path())
 
     def attach(self, stream: DataFrame, checkpoint_dir: str, **trigger: Any):
         if not trigger:

@@ -125,3 +125,36 @@ def test_windowed_event_stats_bounded(spark, tmp_path):
     )
     assert got.count() <= batch_counts
     assert got.agg(F.sum("n_events")).first()[0] is not None
+
+
+def test_near_dup_stream_with_inline_confirm(spark, stream_corpus_dir, tmp_path):
+    """confirm=True: stream-confirmed flags must equal the independent
+    python oracle's verdicts on exactly the emitted candidate pairs."""
+    from dedup_gpu_stream_parallelism_spark.config import DedupConfig
+    from dedup_gpu_stream_parallelism_spark.plans import oracle
+
+    nds = ds.NearDupStream(
+        str(tmp_path / "idx"), str(tmp_path / "m"), confirm=True
+    )
+    src = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_corpus_dir)
+    )
+    q = nds.attach(src, str(tmp_path / "ck")).start()
+    q.awaitTermination(240)
+
+    got = spark.read.parquet(str(tmp_path / "m")).collect()
+    assert len(got) > 0
+    texts = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(stream_corpus_dir).collect()
+    }
+    cfg = DedupConfig()
+    for r in got:
+        a, b = sorted((r.matched_id, r.doc_id))
+        want = 1 if (a, b) in oracle.confirmed_pairs(
+            {a: texts[a], b: texts[b]}, cfg, pairs={(a, b)}
+        ) else 0
+        assert r.confirmed == want, (a, b)
+    assert any(r.confirmed == 1 for r in got)
