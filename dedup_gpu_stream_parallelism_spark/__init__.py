@@ -15,5 +15,21 @@ reference.
 
 from dedup_gpu_stream_parallelism_spark.config import DEFAULT_CONFIG, DedupConfig
 
-__all__ = ["DEFAULT_CONFIG", "DedupConfig"]
+
+def run_pipeline(*args, **kwargs):
+    """Lazy re-export of plans.pipeline.run_pipeline (keeps bare-config
+    imports pyspark-free)."""
+    from dedup_gpu_stream_parallelism_spark.plans.pipeline import run_pipeline as rp
+
+    return rp(*args, **kwargs)
+
+
+def build_session(*args, **kwargs):
+    """Lazy re-export of session.build_session."""
+    from dedup_gpu_stream_parallelism_spark.session import build_session as bs
+
+    return bs(*args, **kwargs)
+
+
+__all__ = ["DEFAULT_CONFIG", "DedupConfig", "run_pipeline", "build_session"]
 __version__ = "0.1.0"
