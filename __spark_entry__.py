@@ -203,6 +203,15 @@ def q_event_props_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_op.dedup_stats(ev, "doc_id", "text")
 
 
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space dedup: connected components over the cosine>=0.4
+    graph — 59 above-threshold pairs at sf0.01 give the oracle real
+    cluster structure to verify."""
+    return sim_op.embedding_near_dup_clusters(
+        _emb(spark, sf_dir), threshold=0.4
+    ).orderBy("vec_id")
+
+
 def q_event_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly tumbling-window event rollup — the batch twin of
     streaming.dedup_stream.windowed_event_stats (exact countDistinct here;
@@ -254,6 +263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # against cosine_topk in tests/test_similarity.py)
         "ann_lsh_topk": q_ann_lsh_topk,
         "embedding_stats": q_embedding_stats,
+        "embedding_near_dup": q_embedding_near_dup,
         "event_window_stats": q_event_window_stats,
         "event_props_dedup": q_event_props_dedup,
     }
@@ -311,6 +321,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": duck_sql.QUALITY_SCORE_SQL,
         "cosine_topk": duck_sql.COSINE_TOPK_SQL,
         "embedding_stats": duck_sql.EMBEDDING_STATS_SQL,
+        "embedding_near_dup": duck_sql.embedding_near_dup_sql(0.4),
         "event_window_stats": duck_sql.EVENT_WINDOW_STATS_SQL,
         "event_props_dedup": """
             WITH m AS (

@@ -192,6 +192,62 @@ def ann_lsh_topk(
     )
 
 
+def cosine_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.55,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(a_id, b_id, cosine) for every pair with rounded cosine >= threshold
+    (a_id < b_id).  Same broadcast+GEMM kernel as cosine_topk; thresholding
+    replaces top-k.  At index sizes beyond broadcast, swap the candidate
+    generator for ann_lsh_topk buckets (identical verify semantics)."""
+    spark = emb.sparkSession
+    src = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+    index_pdf = src.toPandas().sort_values("vec_id").reset_index(drop=True)
+    idx_ids, idx_mat = _normalized_matrix(index_pdf, "vec_id", "vec")
+    bc = spark.sparkContext.broadcast((idx_ids, idx_mat))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_i, mat_i = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q_ids, q_mat = _normalized_matrix(pdf, "vec_id", "vec")
+            sims = np.round(q_mat @ mat_i.T, 6)
+            keep = (sims >= threshold) & (q_ids[:, None] < ids_i[None, :])
+            qi, ii = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    "a_id": q_ids[qi],
+                    "b_id": ids_i[ii],
+                    "cosine": sims[qi, ii],
+                }
+            )
+
+    return src.mapInPandas(gen, schema="a_id bigint, b_id bigint, cosine double")
+
+
+def embedding_near_dup_clusters(
+    emb: DataFrame,
+    threshold: float = 0.55,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, cluster_id): connected components over the cosine>=threshold
+    graph — embedding-space near-dup dedup, same clustering contract as the
+    text pipeline."""
+    from dedup_gpu_stream_parallelism_spark.operators.cluster import (
+        clusters_from_pairs,
+    )
+
+    pairs = cosine_near_dup_pairs(emb, threshold, id_col, vec_col)
+    vids = emb.select(F.col(id_col).alias("doc_id"))
+    return clusters_from_pairs(vids, pairs, id_col="doc_id").select(
+        F.col("doc_id").alias("vec_id"), "cluster_id"
+    )
+
+
 def embedding_stats(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Per-vector norm/moments — JVM-side higher-order functions only."""
     v = F.col(vec_col)

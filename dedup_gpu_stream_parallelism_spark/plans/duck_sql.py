@@ -426,3 +426,29 @@ SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start_epoch,
 FROM events
 GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+def embedding_near_dup_sql(threshold: float = 0.55) -> str:
+    """Cosine-threshold pairs + recursive-CTE connected components over the
+    embeddings table — the embedding-space dedup oracle."""
+    return f"""
+WITH RECURSIVE
+  pairs AS (
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                       b.embedding::DOUBLE[]), 6)
+          >= {threshold}
+  ),
+  sym AS (
+    SELECT a_id AS s, b_id AS d FROM pairs
+    UNION SELECT b_id, a_id FROM pairs
+  ),
+  reach(v, lab) AS (
+    SELECT vec_id, vec_id FROM embeddings
+    UNION
+    SELECT sym.d, reach.lab FROM reach JOIN sym ON sym.s = reach.v
+    WHERE reach.lab < sym.d
+  )
+SELECT v AS vec_id, MIN(lab) AS cluster_id FROM reach GROUP BY v ORDER BY vec_id
+"""
