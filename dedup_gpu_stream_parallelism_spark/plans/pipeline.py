@@ -124,16 +124,20 @@ def run_pipeline(
     if docs.rdd.getNumPartitions() < parallelism:
         docs = docs.repartition(parallelism)
 
-    signed = stager.run(
-        "01_signatures",
-        lambda: sign_documents(docs, text_col="text", cfg=cfg).withColumn(
-            "partition_id", F.spark_partition_id()
-        ),
+    # signatures + banding fused into ONE materialized stage: the banded
+    # frame (doc_id, band, band_key — 16 B/row) is ~5x smaller than the
+    # full signature frame (128-perm minhash arrays), and banding is the
+    # signature stage's only in-pipeline consumer — so materializing the
+    # 350 MB signed frame was a pure disk-I/O constant that throttled
+    # scaling.  ``result.signed`` stays available lazily (recomputed on
+    # access) for invariant checks and ad-hoc use.
+    signed = sign_documents(docs, text_col="text", cfg=cfg).withColumn(
+        "partition_id", F.spark_partition_id()
     )
+    banded = stager.run("01_sign_and_band", lambda: lsh_op.band_keys(signed, cfg))
     exact = stager.run(
         "02_exact_clusters", lambda: exact_op.exact_dup_clusters(docs, "doc_id", "text")
     )
-    banded = lsh_op.band_keys(signed, cfg)
     candidates = stager.run(
         "03_candidate_pairs",
         lambda: lsh_op.candidate_pairs(banded, cfg, strategy=pair_strategy)

@@ -65,7 +65,7 @@ def test_every_doc_in_exactly_one_cluster(result, corpus):
 def test_metrics_emitted_per_stage(result):
     names = [m.stage for m in result.metrics]
     assert names == [
-        "01_signatures",
+        "01_sign_and_band",
         "02_exact_clusters",
         "03_candidate_pairs",
         "04_confirmed_pairs",

@@ -60,4 +60,4 @@ def test_spark_submit_pyfiles_job(tmp_path, spark):
     # the planted exact duplicates must cluster together
     assert clusters.where("cluster_id <> doc_id").count() > 0
     metrics = json.load(open(os.path.join(out, "metrics.json")))
-    assert [m["stage"] for m in metrics][:2] == ["01_signatures", "02_exact_clusters"]
+    assert [m["stage"] for m in metrics][:2] == ["01_sign_and_band", "02_exact_clusters"]
