@@ -126,9 +126,7 @@ def q_confirmed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = (
         lsh_op.candidate_pairs(banded, CFG, strategy="all_pairs")
         .unionByName(
-            chunk_op.chunk_candidate_pairs(
-                chunk_op.chunk_documents(docs, CFG), CFG, strategy="all_pairs"
-            )
+            chunk_op.chunk_candidate_pairs_from_docs(docs, CFG, strategy="all_pairs")
         )
         .distinct()
     )

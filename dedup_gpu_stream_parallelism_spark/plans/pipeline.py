@@ -143,9 +143,10 @@ def run_pipeline(
         lambda: lsh_op.candidate_pairs(banded, cfg, strategy=pair_strategy)
         .unionByName(
             # CDC chunk-hash candidates surface shared-substring duplicates
-            # that set-similarity misses (Rabin stage analog)
-            chunk_op.chunk_candidate_pairs(
-                chunk_op.chunk_documents(docs, cfg), cfg, strategy=pair_strategy
+            # that set-similarity misses (Rabin stage analog); fused
+            # chunk_keys path — one UDF pass, one exchange
+            chunk_op.chunk_candidate_pairs_from_docs(
+                docs, cfg, strategy=pair_strategy
             )
         )
         .distinct(),
