@@ -366,7 +366,9 @@ WITH
     FROM votes_hi GROUP BY doc_id
   )
 SELECT d.doc_id,
-       COALESCE(hi.v * (1::BIGINT << 31) + lo.v, 0) AS simhash
+       -- CAST: SUM() returns HUGEINT; HUGEINT->pandas converts to float64,
+       -- which loses precision above 2^53 and breaks the driver value hash.
+       CAST(COALESCE(hi.v * (1::BIGINT << 31) + lo.v, 0) AS BIGINT) AS simhash
 FROM documents d
 LEFT JOIN lo ON lo.doc_id = d.doc_id
 LEFT JOIN hi ON hi.doc_id = d.doc_id
