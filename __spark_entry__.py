@@ -222,14 +222,18 @@ def q_event_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
+            # fixed-point floor per row, integer sum: exact and associative,
+            # so the oracle compare is independent of partial-agg order
+            F.sum(F.floor(F.col("value") * 1000000.0).cast("long")).alias(
+                "sum_value_micro"
+            ),
             F.countDistinct("user_id").alias("n_users"),
         )
         .select(
             F.unix_timestamp(F.col("w.start")).alias("window_start_epoch"),
             "event_type",
             "n_events",
-            "sum_value",
+            "sum_value_micro",
             "n_users",
         )
         .orderBy("window_start_epoch", "event_type")

@@ -22,7 +22,12 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from dedup_gpu_stream_parallelism_spark.config import BASE1, BASE2, DedupConfig
+from dedup_gpu_stream_parallelism_spark.config import (
+    BASE1,
+    BASE2,
+    SIMHASH_HALF_BITS,
+    DedupConfig,
+)
 from dedup_gpu_stream_parallelism_spark.functions import hashing
 
 SIGNATURE_FIELDS = (
@@ -41,7 +46,7 @@ def _sign_batch(
     lo = hashing._segment_bit_votes(flat1, starts)
     hi = hashing._segment_bit_votes(flat2, starts)
     seg_len = np.diff(starts)
-    simhash = hi * (np.int64(1) << 31) + lo
+    simhash = hi * (np.int64(1) << SIMHASH_HALF_BITS) + lo
     simhash[seg_len == 0] = 0
     n_distinct = np.array(
         [

@@ -423,7 +423,10 @@ EVENT_WINDOW_STATS_SQL = r"""
 SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start_epoch,
        event_type,
        CAST(COUNT(*) AS BIGINT) AS n_events,
-       ROUND(SUM(value), 6) AS sum_value,
+       -- per-row fixed-point floor then integer SUM: associative, so the
+       -- compare is immune to Spark's partition-dependent partial-agg order
+       CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS BIGINT)
+         AS sum_value_micro,
        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
 FROM events
 GROUP BY 1, 2 ORDER BY 1, 2
