@@ -145,6 +145,40 @@ def q_roundtrip_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_chunk_roundtrip_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-granularity encode→decode→re-verify — the reference's real
+    .ddp storage contract (encoder.cpp:236-277, decoder.cpp:200-291):
+    unique chunks stored once, docs reassembled in chunk_idx order from
+    the store alone, sha256 re-checked per doc."""
+    from dedup_gpu_stream_parallelism_spark.operators import store as store_op
+
+    return store_op.chunk_roundtrip_check(
+        _docs(spark, sf_dir), CFG, "doc_id", "text"
+    ).orderBy("doc_id")
+
+
+def q_chunk_store_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-store space accounting (refs vs unique payload chars)."""
+    from dedup_gpu_stream_parallelism_spark.operators import store as store_op
+
+    manifest, store = store_op.chunk_encode_store(
+        _docs(spark, sf_dir), CFG, "doc_id", "text"
+    )
+    return store_op.chunk_store_stats(manifest, store)
+
+
+def q_compression_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-checkable half of the compress-stage stats (n_payloads,
+    total_chars over the unique store); compressed byte counts stay in
+    the rows-only compression_stats query."""
+    from dedup_gpu_stream_parallelism_spark.operators import compress as cz
+
+    _, store = exact_op.encode_store(_docs(spark, sf_dir), "doc_id", "text")
+    return cz.compression_stats(cz.compress_store(store, cz.COMPRESS_GZIP)).select(
+        "compress_type", "n_payloads", "total_chars"
+    )
+
+
 def q_compression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compress stage stats over the unique-payload store (gzip) — the -v
     compression factors (encoder.cpp:150-167).  Rows-only check: zlib
@@ -254,6 +288,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dup": q_simhash_near_dup,
         "confirmed_pairs": q_confirmed_pairs,
         "roundtrip_check": q_roundtrip_check,
+        "chunk_roundtrip_check": q_chunk_roundtrip_check,
+        "chunk_store_stats": q_chunk_store_stats,
+        "compression_payload_stats": q_compression_payload_stats,
         # rows-only: compressed byte counts are not SQL-computable
         "compression_stats": q_compression_stats,
         "lzss_estimate": q_lzss_estimate,
@@ -342,6 +379,9 @@ def oracle_sql() -> dict[str, str]:
                      AS dedup_factor
             FROM m
         """,
+        "chunk_roundtrip_check": duck_sql.chunk_roundtrip_sql(),
+        "chunk_store_stats": duck_sql.chunk_store_stats_sql(),
+        "compression_payload_stats": duck_sql.COMPRESSION_PAYLOAD_STATS_SQL,
         # full signature-pipeline oracles (bit-identical integer hashing)
         "cdc_chunks": duck_sql.cdc_chunks_sql(),
         "cdc_chunk_stats": duck_sql.cdc_chunk_stats_sql(),

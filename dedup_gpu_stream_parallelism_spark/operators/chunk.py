@@ -73,16 +73,23 @@ def chunk_documents(
     text_col: str = "text",
     window: int = CDC_WINDOW,
     modulus: int = CDC_MODULUS,
+    with_payload: bool = False,
 ) -> DataFrame:
     """Explode every document into CDC chunks: one row per chunk with its
     sha256 key — the Fragment/FragmentRefine stages
-    (src/encoder.cpp:1123-1176, :634-758) as a ``mapInPandas`` flatMap."""
+    (src/encoder.cpp:1123-1176, :634-758) as a ``mapInPandas`` flatMap.
+
+    ``with_payload=True`` additionally emits the chunk text (``chunk_text``)
+    — the storage-encode path (operators/store.py) needs the bytes, the
+    candidate/stats paths don't and should leave it off."""
 
     src = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    schema = CHUNK_SCHEMA + (", chunk_text string" if with_payload else "")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_id, out_idx, out_start, out_len, out_sha = [], [], [], [], []
+            out_text: list[str] = []
             for did, text in zip(pdf["doc_id"], pdf["text"]):
                 text = text or ""
                 for i, (s, e) in enumerate(chunk_spans(text, window, modulus)):
@@ -93,17 +100,20 @@ def chunk_documents(
                     out_sha.append(
                         hashlib.sha256(text[s:e].encode("utf-8")).hexdigest()
                     )
-            yield pd.DataFrame(
-                {
-                    "doc_id": pd.array(out_id, dtype="int64"),
-                    "chunk_idx": pd.array(out_idx, dtype="int64"),
-                    "chunk_start": pd.array(out_start, dtype="int64"),
-                    "chunk_len": pd.array(out_len, dtype="int64"),
-                    "chunk_sha": pd.array(out_sha, dtype="string"),
-                }
-            )
+                    if with_payload:
+                        out_text.append(text[s:e])
+            cols = {
+                "doc_id": pd.array(out_id, dtype="int64"),
+                "chunk_idx": pd.array(out_idx, dtype="int64"),
+                "chunk_start": pd.array(out_start, dtype="int64"),
+                "chunk_len": pd.array(out_len, dtype="int64"),
+                "chunk_sha": pd.array(out_sha, dtype="string"),
+            }
+            if with_payload:
+                cols["chunk_text"] = pd.array(out_text, dtype="string")
+            yield pd.DataFrame(cols)
 
-    return src.mapInPandas(gen, schema=CHUNK_SCHEMA)
+    return src.mapInPandas(gen, schema=schema)
 
 
 CHUNK_KEYS_SCHEMA = "doc_id bigint, band_key bigint"

@@ -105,23 +105,34 @@ def decode_roundtrip(
     (src/decoder.cpp:268-271).
 
     Returns (doc_id, sha256, payload, sha_ok int).
+
+    ``strict`` fails *executor-side during the decode job itself*
+    (``raise_error`` on a null payload) — per-record, like the reference
+    decoder, rather than a driver pre-scan: the whole check costs zero
+    extra jobs and the plan stays fully lazy.
     """
-    rebuilt = manifest.join(store, "sha256", "left").select(
+    payload = F.col("payload")
+    if strict:
+        payload = F.when(
+            F.col("payload").isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "referential integrity violated: no representative "
+                        "payload in the unique store for doc "
+                    ),
+                    F.col("doc_id").cast("string"),
+                )
+            ),
+        ).otherwise(F.col("payload"))
+    return manifest.join(store, "sha256", "left").select(
         "doc_id",
         "sha256",
-        "payload",
-        (F.sha2(F.coalesce("payload", F.lit("")), 256) == F.col("sha256"))
+        payload.alias("payload"),
+        (F.sha2(F.coalesce(payload, F.lit("")), 256) == F.col("sha256"))
         .cast("int")
         .alias("sha_ok"),
     )
-    if strict:
-        missing = rebuilt.where(F.col("payload").isNull()).count()
-        if missing:
-            raise ValueError(
-                f"referential integrity violated: {missing} manifest rows "
-                "have no representative payload in the unique store"
-            )
-    return rebuilt
 
 
 def dedup_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

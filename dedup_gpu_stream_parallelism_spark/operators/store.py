@@ -1,0 +1,173 @@
+"""Chunk-level dedup storage — the reference's actual ``.ddp`` contract.
+
+The reference dedups at *chunk* granularity: the encoder writes each unique
+chunk's payload exactly once and every later occurrence as a bare 20-byte
+fingerprint record (write_chunk_to_file, /root/reference/src/encoder.cpp:236-277);
+the decoder reassembles the stream in ``(l1, l2)`` sequence order and fails
+hard on a fingerprint whose payload was never seen
+(/root/reference/src/decoder.cpp:200-291, hard error :268-271).
+
+Spark-first re-expression as two tables:
+
+* **chunk manifest** — one row per (doc, chunk position):
+  ``(doc_id, chunk_idx, chunk_sha, chunk_len)``.  This is the fingerprint
+  stream; it carries no payload.
+* **chunk store** — one row per distinct ``chunk_sha`` with the payload.
+  The ``groupBy(chunk_sha)`` exchange IS the encoder's global hash table
+  (hash partitioning replaces per-bucket locks, map-side partial ``first``
+  collapses within-partition duplicates before the shuffle).
+
+Decode = manifest ⋈ store on ``chunk_sha`` → per-doc ``array_sort`` by
+``chunk_idx`` (the ``(l1,l2)`` reorder) → concat → sha256 re-verified
+against the original.  Missing payloads raise *executor-side during the
+decode job* (``raise_error``), mirroring the decoder's per-record hard
+fail — no driver pre-scan, no extra job.
+
+Scale notes (100 TB): the store shuffle moves at most corpus bytes and at
+least unique bytes (partial agg collapses local duplicates); the manifest
+shuffle moves only 72-byte coordinate rows.  Decode's reassembly groupBy
+shuffles unique-payload bytes × duplication factor — the same volume the
+reference's decoder reads from disk.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dedup_gpu_stream_parallelism_spark.config import DedupConfig
+from dedup_gpu_stream_parallelism_spark.operators.chunk import (
+    CDC_MODULUS,
+    CDC_WINDOW,
+    chunk_documents,
+)
+
+
+def chunk_encode_store(
+    docs: DataFrame,
+    cfg: DedupConfig | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = CDC_WINDOW,
+    modulus: int = CDC_MODULUS,
+) -> tuple[DataFrame, DataFrame]:
+    """(chunk_manifest, chunk_store).
+
+    Manifest: ``(doc_id, chunk_idx, chunk_sha, chunk_len)`` for every chunk
+    of every doc.  Store: ``(chunk_sha, chunk_len, payload)`` — exactly one
+    row per distinct chunk sha (payloads for equal sha are byte-identical,
+    so ``first`` is value-deterministic).
+
+    Both outputs branch off one chunking UDF pass; callers that consume
+    both should ``persist()`` the chunk frame themselves if recompute
+    matters (the pipeline stager does).
+    """
+    chunks = chunk_documents(
+        docs, cfg, id_col=id_col, text_col=text_col,
+        window=window, modulus=modulus, with_payload=True,
+    )
+    manifest = chunks.select("doc_id", "chunk_idx", "chunk_sha", "chunk_len")
+    store = chunks.groupBy("chunk_sha").agg(
+        F.first("chunk_len").alias("chunk_len"),
+        F.first("chunk_text").alias("payload"),
+    )
+    return manifest, store
+
+
+def chunk_decode(
+    manifest: DataFrame, store: DataFrame, strict: bool = True
+) -> DataFrame:
+    """Rebuild ``(doc_id, text, n_chunks)`` from manifest ⋈ store.
+
+    ``strict`` raises executor-side during the decode job for any manifest
+    row whose sha has no store payload (decoder.cpp:268-271 semantics);
+    non-strict substitutes '' so the sha check downstream fails instead.
+    Docs with zero chunks (empty text) do not appear — the caller left-joins
+    the doc list (see ``chunk_roundtrip_check``).
+    """
+    payload = F.col("payload")
+    if strict:
+        payload = F.when(
+            F.col("payload").isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit("referential integrity violated: no payload for chunk "),
+                    F.col("chunk_sha"),
+                )
+            ),
+        ).otherwise(F.col("payload"))
+    joined = manifest.join(store.select("chunk_sha", "payload"), "chunk_sha", "left")
+    return (
+        joined.select("doc_id", "chunk_idx", payload.alias("payload"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            # (l1,l2) reorder: sort the (chunk_idx, payload) structs —
+            # struct ordering is field-order lexicographic, so chunk_idx
+            # drives — then concat in sequence order.
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("chunk_idx", "payload"))
+                    ),
+                    lambda s: s["payload"],
+                ),
+                "",
+            ).alias("text"),
+        )
+    )
+
+
+def chunk_roundtrip_check(
+    docs: DataFrame,
+    cfg: DedupConfig | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Encode → decode → re-verify: ``(doc_id, sha256, n_chunks, sha_ok)``.
+
+    The dedup ``-u`` round-trip at chunk granularity: every document's text
+    is reassembled purely from the unique-chunk store and its sha256 must
+    equal the original's (the per-row invariant).  Empty docs (zero chunks)
+    round-trip to '' via the left join.
+    """
+    manifest, store = chunk_encode_store(docs, cfg, id_col=id_col, text_col=text_col)
+    decoded = chunk_decode(manifest, store, strict=True)
+    orig = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.sha2(F.col(text_col), 256).alias("sha256"),
+    )
+    return orig.join(decoded, "doc_id", "left").select(
+        "doc_id",
+        "sha256",
+        F.coalesce("n_chunks", F.lit(0)).cast("bigint").alias("n_chunks"),
+        (F.sha2(F.coalesce(F.col("text"), F.lit("")), 256) == F.col("sha256"))
+        .cast("int")
+        .alias("sha_ok"),
+    )
+
+
+def chunk_store_stats(manifest: DataFrame, store: DataFrame) -> DataFrame:
+    """Storage-contract statistics: how much the chunk store actually saves
+    (the -v block's dedup factor at chunk granularity, encoder.cpp:131-177).
+
+    (n_chunk_refs, n_unique_chunks, total_chars, stored_chars,
+    space_saving_factor) — one row.
+    """
+    m = manifest.agg(
+        F.count("*").alias("n_chunk_refs"),
+        F.sum("chunk_len").cast("bigint").alias("total_chars"),
+    )
+    s = store.agg(
+        F.count("*").alias("n_unique_chunks"),
+        F.sum(F.length("payload")).cast("bigint").alias("stored_chars"),
+    )
+    return m.crossJoin(s).select(
+        "n_chunk_refs",
+        "n_unique_chunks",
+        "total_chars",
+        "stored_chars",
+        F.round(F.col("total_chars") / F.col("stored_chars"), 6).alias(
+            "space_saving_factor"
+        ),
+    )

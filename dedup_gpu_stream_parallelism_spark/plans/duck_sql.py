@@ -236,6 +236,61 @@ def cdc_ctes() -> str:
   )"""
 
 
+def chunk_roundtrip_sql() -> str:
+    """Oracle for the chunk-level encode→decode round-trip: the chunk count
+    per doc is recomputed independently from the CDC CTEs, and sha_ok is
+    pinned to 1 — the Spark side actually reassembles text from the unique-
+    chunk store and re-hashes it, so a decode bug shows up as sha_ok=0."""
+    return f"""
+WITH
+{cdc_ctes()},
+  per_doc AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks
+    FROM chunk_rows GROUP BY doc_id
+  )
+SELECT d.doc_id, sha256(d.text) AS sha256,
+       CAST(COALESCE(p.n_chunks, 0) AS BIGINT) AS n_chunks,
+       1 AS sha_ok
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+def chunk_store_stats_sql() -> str:
+    """Oracle for the chunk-store storage contract: stored bytes = sum of
+    chunk_len over DISTINCT chunk shas."""
+    return f"""
+WITH
+{cdc_ctes()},
+  u AS (SELECT DISTINCT chunk_sha, chunk_len FROM chunk_rows),
+  tot AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_chunk_refs,
+           CAST(SUM(chunk_len) AS BIGINT) AS total_chars
+    FROM chunk_rows
+  ),
+  st AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_unique_chunks,
+           CAST(SUM(chunk_len) AS BIGINT) AS stored_chars
+    FROM u
+  )
+SELECT tot.n_chunk_refs, st.n_unique_chunks, tot.total_chars, st.stored_chars,
+       ROUND(tot.total_chars / CAST(st.stored_chars AS DOUBLE), 6)
+         AS space_saving_factor
+FROM tot, st
+"""
+
+
+COMPRESSION_PAYLOAD_STATS_SQL = r"""
+WITH m AS (
+  SELECT sha256(text) AS sha, MIN(doc_id) AS rep FROM documents GROUP BY 1
+)
+SELECT 'gzip' AS compress_type,
+       CAST(COUNT(*) AS BIGINT) AS n_payloads,
+       CAST(SUM(length(d.text)) AS BIGINT) AS total_chars
+FROM documents d JOIN m ON d.doc_id = m.rep
+"""
+
+
 def confirm_ctes(cfg: DedupConfig) -> str:
     sub = cfg.substring_min_len
     thr = cfg.jaccard_threshold
