@@ -222,6 +222,15 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_op.ann_lsh_topk(_emb(spark, sf_dir), k=5).orderBy("vec_id", "rank")
 
 
+def q_ann_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate threshold pairs — the sub-quadratic 100 TB
+    pair generator (precision 1 by in-bucket exact verify; recall asserted
+    vs the exact blocked kernel in tests/test_similarity.py)."""
+    return sim_op.ann_near_dup_pairs(
+        _emb(spark, sf_dir), threshold=0.4, n_planes=4, n_tables=16
+    ).orderBy("a_id", "b_id")
+
+
 def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_op.embedding_stats(_emb(spark, sf_dir)).orderBy("vec_id")
 
@@ -301,6 +310,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # approximate by construction: rows-only check (recall asserted
         # against cosine_topk in tests/test_similarity.py)
         "ann_lsh_topk": q_ann_lsh_topk,
+        # approximate by construction: rows-only (recall vs exact in tests)
+        "ann_near_dup": q_ann_near_dup,
         "embedding_stats": q_embedding_stats,
         "embedding_near_dup": q_embedding_near_dup,
         "event_window_stats": q_event_window_stats,

@@ -192,19 +192,115 @@ def ann_lsh_topk(
     )
 
 
+PAIRS_SCHEMA = "a_id bigint, b_id bigint, cosine double"
+
+# Above this row count the broadcast strategies refuse and the blocked
+# (fully distributed, no driver collect) kernel takes over.
+BROADCAST_MAX_ROWS = 100_000
+
+
+def _blocked_threshold_pairs(
+    src: DataFrame, threshold: float, n_blocks: int
+) -> DataFrame:
+    """Exact all-pairs cosine >= threshold via a distributed block matrix.
+
+    Rows are hashed into ``n_blocks`` blocks; every block pair (bi <= bj)
+    becomes one cogrouped task running a float64 GEMM over the two blocks.
+    No driver collect, no broadcast of the index: shuffle volume is
+    ~(n_blocks/2)·rows·dim, peak task memory two blocks.  FLOPs stay O(n²)
+    — that is what *exact* all-pairs costs; the sub-quadratic scale path is
+    ``ann_near_dup_pairs`` (bucketed, approximate).
+    """
+    spark = src.sparkSession
+    blocked = src.withColumn(
+        "blk", F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks)).cast("int")
+    )
+    pairs_list = [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)]
+    left = (
+        blocked.join(
+            spark.createDataFrame(pairs_list, "l_bi int, l_bj int"),
+            blocked["blk"] == F.col("l_bi"),
+        )
+        .select(
+            F.col("l_bi").alias("bi"), F.col("l_bj").alias("bj"), "vec_id", "vec"
+        )
+    )
+    right = (
+        blocked.join(
+            spark.createDataFrame(pairs_list, "r_bi int, r_bj int"),
+            blocked["blk"] == F.col("r_bj"),
+        )
+        .select(
+            F.col("r_bi").alias("bi"),
+            F.col("r_bj").alias("bj"),
+            # fresh exprIds so the self-join cogroup is unambiguous
+            F.col("vec_id").alias("rvec_id"),
+            F.col("vec").alias("rvec"),
+        )
+    )
+
+    def gemm(key, lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(lpdf) or not len(rpdf):
+            return pd.DataFrame({"a_id": [], "b_id": [], "cosine": []}).astype(
+                {"a_id": "int64", "b_id": "int64", "cosine": "float64"}
+            )
+        l_ids, l_mat = _normalized_matrix(lpdf, "vec_id", "vec")
+        r_ids, r_mat = _normalized_matrix(rpdf, "rvec_id", "rvec")
+        sims = np.round(l_mat @ r_mat.T, 6)
+        if key[0] == key[1]:
+            # diagonal block: both sides are the same rows — keep l < r so
+            # each unordered pair (and the self diagonal) is emitted once
+            keep = (sims >= threshold) & (l_ids[:, None] < r_ids[None, :])
+        else:
+            # off-diagonal: the two sides are disjoint blocks and the block
+            # pair (bi < bj) exists only once — keep everything
+            keep = sims >= threshold
+        li, ri = np.nonzero(keep)
+        lo = np.minimum(l_ids[li], r_ids[ri])
+        hi = np.maximum(l_ids[li], r_ids[ri])
+        return pd.DataFrame({"a_id": lo, "b_id": hi, "cosine": sims[li, ri]})
+
+    # each unordered pair lands in exactly one cogroup task → no distinct
+    return (
+        left.groupBy("bi", "bj")
+        .cogroup(right.groupBy("bi", "bj"))
+        .applyInPandas(gemm, schema=PAIRS_SCHEMA)
+    )
+
+
 def cosine_near_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.55,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    strategy: str = "blocked",
+    n_blocks: int = 8,
 ) -> DataFrame:
     """(a_id, b_id, cosine) for every pair with rounded cosine >= threshold
-    (a_id < b_id).  Same broadcast+GEMM kernel as cosine_topk; thresholding
-    replaces top-k.  At index sizes beyond broadcast, swap the candidate
-    generator for ann_lsh_topk buckets (identical verify semantics)."""
-    spark = emb.sparkSession
+    (a_id < b_id) — exact.
+
+    ``strategy``:
+
+    * ``"blocked"`` (default) — distributed block-matrix GEMM
+      (``_blocked_threshold_pairs``): no driver collect, no broadcast;
+      works at any index size the cluster can hold.
+    * ``"broadcast"`` — collect+broadcast the index (the fast small-side
+      kernel); refuses above ``BROADCAST_MAX_ROWS`` so the scale-killer
+      path cannot be hit silently.
+    """
     src = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+    if strategy == "blocked":
+        return _blocked_threshold_pairs(src, threshold, n_blocks)
+    if strategy != "broadcast":
+        raise ValueError(f"unknown strategy {strategy!r}")
+
+    spark = emb.sparkSession
     index_pdf = src.toPandas().sort_values("vec_id").reset_index(drop=True)
+    if len(index_pdf) > BROADCAST_MAX_ROWS:
+        raise ValueError(
+            f"broadcast strategy refused: {len(index_pdf)} rows > "
+            f"{BROADCAST_MAX_ROWS}; use strategy='blocked'"
+        )
     idx_ids, idx_mat = _normalized_matrix(index_pdf, "vec_id", "vec")
     bc = spark.sparkContext.broadcast((idx_ids, idx_mat))
 
@@ -225,7 +321,70 @@ def cosine_near_dup_pairs(
                 }
             )
 
-    return src.mapInPandas(gen, schema="a_id bigint, b_id bigint, cosine double")
+    return src.mapInPandas(gen, schema=PAIRS_SCHEMA)
+
+
+def ann_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.55,
+    n_planes: int = 4,
+    n_tables: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Approximate threshold pairs via multi-table hyperplane LSH — the
+    sub-quadratic 100 TB path (exact verify *within* buckets, so precision
+    is 1; recall ≈ 1-(1-p^planes)^tables with p = 1-θ/π per pair).
+
+    One bucket-key groupBy (rows replicated n_tables-fold) + one pair-dedup
+    groupBy; no GEMM ever exceeds a bucket.
+    """
+    spark = emb.sparkSession
+    src = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+    if dim is None:
+        first = src.select(F.size("vec").alias("d")).first()
+        dim = int(first["d"]) if first else 0
+    rs = np.random.RandomState(seed)
+    planes = rs.standard_normal((n_tables, n_planes, dim))
+    bc_planes = spark.sparkContext.broadcast(planes)
+
+    def bucketize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pl = bc_planes.value
+        weights = (1 << np.arange(n_planes)).astype(np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids, mat = _normalized_matrix(pdf, "vec_id", "vec")
+            frames = []
+            for t in range(n_tables):
+                signs = (mat @ pl[t].T) >= 0.0
+                out = pdf[["vec_id", "vec"]].copy()
+                out["bucket"] = (signs @ weights) | (np.int64(t) << n_planes)
+                frames.append(out)
+            yield pd.concat(frames, ignore_index=True)
+
+    bucketed = src.mapInPandas(
+        bucketize, schema="vec_id bigint, vec array<float>, bucket bigint"
+    )
+
+    def per_bucket(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        ids, mat = _normalized_matrix(pdf, "vec_id", "vec")
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame({"a_id": [], "b_id": [], "cosine": []}).astype(
+                {"a_id": "int64", "b_id": "int64", "cosine": "float64"}
+            )
+        sims = np.round(mat @ mat.T, 6)
+        keep = (sims >= threshold) & (ids[:, None] < ids[None, :])
+        li, ri = np.nonzero(keep)
+        return pd.DataFrame(
+            {"a_id": ids[li], "b_id": ids[ri], "cosine": sims[li, ri]}
+        )
+
+    found = bucketed.groupBy("bucket").applyInPandas(per_bucket, schema=PAIRS_SCHEMA)
+    return found.groupBy("a_id", "b_id").agg(F.max("cosine").alias("cosine"))
 
 
 def embedding_near_dup_clusters(
@@ -233,15 +392,19 @@ def embedding_near_dup_clusters(
     threshold: float = 0.55,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_blocks: int = 8,
 ) -> DataFrame:
     """(vec_id, cluster_id): connected components over the cosine>=threshold
     graph — embedding-space near-dup dedup, same clustering contract as the
-    text pipeline."""
+    text pipeline.  Pair generation is the exact blocked kernel: fully
+    distributed, no driver collect at any size."""
     from dedup_gpu_stream_parallelism_spark.operators.cluster import (
         clusters_from_pairs,
     )
 
-    pairs = cosine_near_dup_pairs(emb, threshold, id_col, vec_col)
+    pairs = cosine_near_dup_pairs(
+        emb, threshold, id_col, vec_col, strategy="blocked", n_blocks=n_blocks
+    )
     vids = emb.select(F.col(id_col).alias("doc_id"))
     return clusters_from_pairs(vids, pairs, id_col="doc_id").select(
         F.col("doc_id").alias("vec_id"), "cluster_id"

@@ -71,3 +71,45 @@ def test_embedding_stats_values(spark, emb):
         assert r.dim == v.shape[0]
         assert abs(r.l2_norm - round(float(np.sqrt((v * v).sum())), 6)) < 1e-6
         assert abs(r.mean_val - round(float(v.sum() / len(v)), 6)) < 1e-6
+
+
+def test_blocked_pairs_match_broadcast(spark, emb):
+    """The distributed block-matrix kernel must produce the exact same pair
+    set (ids + rounded cosines) as the broadcast GEMM."""
+    blocked = {
+        (r.a_id, r.b_id, r.cosine)
+        for r in sim.cosine_near_dup_pairs(
+            emb, threshold=0.4, strategy="blocked", n_blocks=5
+        ).collect()
+    }
+    broadcast = {
+        (r.a_id, r.b_id, r.cosine)
+        for r in sim.cosine_near_dup_pairs(
+            emb, threshold=0.4, strategy="broadcast"
+        ).collect()
+    }
+    assert blocked == broadcast
+    assert all(a < b for a, b, _ in blocked)
+
+
+def test_ann_near_dup_recall(spark, emb):
+    """Bucketed approximate pairs: precision must be 1 (exact in-bucket
+    verify) and recall against the exact pair set meaningful."""
+    exact = {
+        (r.a_id, r.b_id)
+        for r in sim.cosine_near_dup_pairs(emb, threshold=0.4).collect()
+    }
+    ann = {
+        (r.a_id, r.b_id)
+        for r in sim.ann_near_dup_pairs(
+            emb, threshold=0.4, n_planes=4, n_tables=16
+        ).collect()
+    }
+    assert ann <= exact  # precision 1
+    assert len(ann & exact) / max(1, len(exact)) >= 0.5
+
+
+def test_broadcast_refuses_above_cap(spark, emb, monkeypatch):
+    monkeypatch.setattr(sim, "BROADCAST_MAX_ROWS", 3)
+    with pytest.raises(ValueError, match="broadcast strategy refused"):
+        sim.cosine_near_dup_pairs(emb, threshold=0.4, strategy="broadcast")
