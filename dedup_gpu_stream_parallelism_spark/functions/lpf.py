@@ -81,6 +81,58 @@ def lpf_lengths(text: str) -> np.ndarray:
     return lpf
 
 
+def windowed_match_lengths(
+    text: str, window: int = WINDOW_SIZE, max_len: int = MAX_CODED
+) -> np.ndarray:
+    """Exact windowed match length per position: out[i] = the largest
+    ``l in [3, max_len]`` such that ``text[i:i+l]`` occurs at some
+    ``j in [i-window, i)`` — the reference matcher's true semantics
+    (offset <= WINDOW_SIZE, length <= MAX_CODED, lzlocal.h:47-59).
+    Positions with no match of length >= 3 report 0 (greedy emits them
+    uncoded either way, MAX_UNCODED = 2).
+
+    Exact without hashing: prefix-doubling rank arrays give substring
+    equality classes (two positions share a length-l class iff their
+    length-l substrings are byte-identical); within a class, the stable
+    sort order makes each position's predecessor its *nearest* earlier
+    occurrence, so one vectorized distance check settles the window
+    constraint.  O(n log max_len) sorts, all numpy.
+    """
+    n = len(text)
+    out = np.zeros(n, dtype=np.int64)
+    if n < 4:  # a length-3 match needs at least 4 chars
+        return out
+    codes = text_codes(text)
+    # rank_p[i] = equality class of text[i:i+p], for p = 1,2,4,8,16
+    ranks: dict[int, np.ndarray] = {1: np.unique(codes, return_inverse=True)[1]}
+    p = 1
+    while p < max_len and 2 * p <= n:
+        r = ranks[p]
+        m = n - 2 * p + 1
+        key = r[:m].astype(np.int64) * (n + 1) + r[p : p + m]
+        ranks[2 * p] = np.unique(key, return_inverse=True)[1]
+        p *= 2
+    for length in range(3, min(max_len, n - 1) + 1):
+        m = n - length + 1
+        p = 1 << (length.bit_length() - 1)  # largest power of two <= length
+        if p not in ranks:
+            break
+        r = ranks[p]
+        if p == length:
+            keys = r[:m].astype(np.int64)
+        else:
+            # text[i:i+length] equal iff the two overlapping length-p
+            # halves (at i and i+length-p) are both equal
+            keys = r[:m].astype(np.int64) * (n + 1) + r[length - p : length - p + m]
+        order = np.argsort(keys, kind="stable")  # stable → pos-ascending runs
+        same = keys[order[1:]] == keys[order[:-1]]
+        cur = order[1:][same]
+        prev = order[:-1][same]
+        ok = cur - prev <= window
+        out[cur[ok]] = length
+    return out
+
+
 def greedy_emit(lpf: np.ndarray) -> tuple[int, int]:
     """(n_coded, n_uncoded) tokens from the greedy skip pass
     (EncodeLZSSGpu, lzss_gpu.cpp:138-172): accept a match when its clamped
@@ -100,8 +152,12 @@ def greedy_emit(lpf: np.ndarray) -> tuple[int, int]:
 
 
 def lzss_estimate(text: str) -> dict:
-    """Per-doc self-compressibility: token counts + encoded-size estimate."""
-    lpf = lpf_lengths(text)
+    """Per-doc self-compressibility: token counts + encoded-size estimate.
+
+    Match lengths come from ``windowed_match_lengths`` — the exact
+    WINDOW_SIZE/MAX_CODED semantics at every doc length, so
+    ``window_exact`` is always 1 (kept for schema stability)."""
+    lpf = windowed_match_lengths(text)
     n_coded, n_uncoded = greedy_emit(lpf)
     bits = n_coded * CODED_BITS + n_uncoded * UNCODED_BITS
     n = len(text)
@@ -111,7 +167,7 @@ def lzss_estimate(text: str) -> dict:
         "n_uncoded": n_uncoded,
         "est_bytes": (bits + 7) // 8,
         "est_ratio": round(((bits + 7) // 8) / n, 6) if n else 0.0,
-        "window_exact": int(n <= WINDOW_SIZE),
+        "window_exact": 1,
     }
 
 
