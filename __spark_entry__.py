@@ -235,6 +235,16 @@ def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_op.embedding_stats(_emb(spark, sf_dir)).orderBy("vec_id")
 
 
+def q_binary_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over a BinaryType payload column — the reference consumes
+    arbitrary bytes (src/encoder.cpp:1079-1101, mbuffer.h:41); F.sha2 and
+    F.length operate on the bytes directly (length = octet count)."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.encode("text", "utf-8").alias("data")
+    )
+    return exact_op.dedup_stats(docs, "doc_id", "data")
+
+
 def q_event_props_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-dup statistics over the events.props payload column — the same
     groupBy-as-hash-table dedup applied to a second table shape."""
@@ -316,6 +326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "event_window_stats": q_event_window_stats,
         "event_props_dedup": q_event_props_dedup,
+        "binary_dedup_stats": q_binary_dedup_stats,
     }
 
 
@@ -379,6 +390,26 @@ def oracle_sql() -> dict[str, str]:
                      length(props) AS _len,
                      MIN(event_id) OVER (PARTITION BY sha256(props)) AS rep
               FROM events
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(COUNT(DISTINCT sha256) AS BIGINT) AS n_unique,
+                   CAST(SUM(CASE WHEN doc_id <> rep THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_duplicates,
+                   CAST(SUM(CASE WHEN doc_id = rep THEN _len ELSE 0 END) AS BIGINT)
+                     AS unique_chars,
+                   ROUND(COUNT(*) / CAST(COUNT(DISTINCT sha256) AS DOUBLE), 6)
+                     AS dedup_factor
+            FROM m
+        """,
+        "binary_dedup_stats": """
+            -- DuckDB sha256 is VARCHAR-only; for this ASCII corpus
+            -- sha256(text) == sha256(utf-8 bytes), and octet_length of the
+            -- encoded blob is the byte count Spark's F.length(binary) sees.
+            WITH m AS (
+              SELECT doc_id, sha256(text) AS sha256,
+                     octet_length(encode(text)) AS _len,
+                     MIN(doc_id) OVER (PARTITION BY sha256(text)) AS rep
+              FROM documents
             )
             SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
                    CAST(COUNT(DISTINCT sha256) AS BIGINT) AS n_unique,

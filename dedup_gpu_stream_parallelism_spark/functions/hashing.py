@@ -24,8 +24,13 @@ from dedup_gpu_stream_parallelism_spark.config import (
 )
 
 
-def text_codes(text: str) -> np.ndarray:
-    """Unicode codepoints as int64.  Fast path for ASCII via raw bytes."""
+def text_codes(text: str | bytes) -> np.ndarray:
+    """Symbol codes as int64: unicode codepoints for str, raw byte values
+    for bytes (the reference consumes arbitrary bytes, src/mbuffer.h:41 —
+    for ASCII text the two views coincide, so the hash spec is unchanged).
+    Fast path for ASCII via raw bytes."""
+    if isinstance(text, (bytes, bytearray, memoryview)):
+        return np.frombuffer(bytes(text), dtype=np.uint8).astype(np.int64)
     b = text.encode("utf-8")
     if len(b) == len(text):  # pure ASCII
         return np.frombuffer(b, dtype=np.uint8).astype(np.int64)

@@ -39,7 +39,11 @@ SIGNATURE_FIELDS = (
 def _sign_batch(
     pdf: pd.DataFrame, text_col: str, cfg: DedupConfig, keep_text: bool = False
 ) -> pd.DataFrame:
-    texts = pdf[text_col].fillna("").tolist()
+    # polymorphic over str and bytes content (BinaryType columns arrive as
+    # Python bytes; the hash spec treats byte values as codes — see
+    # hashing.text_codes)
+    raw = pdf[text_col].tolist()
+    texts = [v if v is not None else "" for v in raw]
     flat1, starts = hashing.batch_shingle_hashes(texts, cfg.shingle_k, BASE1)
     flat2, _ = hashing.batch_shingle_hashes(texts, cfg.shingle_k, BASE2)
     sig = hashing.minhash_signatures(flat1, starts, cfg)
@@ -56,7 +60,12 @@ def _sign_batch(
         dtype=np.int64,
     )
     out = (pdf.copy() if keep_text else pdf.drop(columns=[text_col]).copy())
-    out["sha256"] = [hashlib.sha256(t.encode("utf-8")).hexdigest() for t in texts]
+    out["sha256"] = [
+        hashlib.sha256(
+            t if isinstance(t, (bytes, bytearray)) else t.encode("utf-8")
+        ).hexdigest()
+        for t in texts
+    ]
     out["n_chars"] = np.array([len(t) for t in texts], dtype=np.int64)
     out["n_shingles"] = seg_len
     out["n_distinct_shingles"] = n_distinct

@@ -83,25 +83,35 @@ def chunk_documents(
     — the storage-encode path (operators/store.py) needs the bytes, the
     candidate/stats paths don't and should leave it off."""
 
+    from pyspark.sql.types import BinaryType
+
     src = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
-    schema = CHUNK_SCHEMA + (", chunk_text string" if with_payload else "")
+    is_binary = isinstance(src.schema["text"].dataType, BinaryType)
+    payload_type = "binary" if is_binary else "string"
+    schema = CHUNK_SCHEMA + (f", chunk_text {payload_type}" if with_payload else "")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_id, out_idx, out_start, out_len, out_sha = [], [], [], [], []
-            out_text: list[str] = []
+            out_text: list = []
             for did, text in zip(pdf["doc_id"], pdf["text"]):
-                text = text or ""
+                if text is None:
+                    text = b"" if is_binary else ""
                 for i, (s, e) in enumerate(chunk_spans(text, window, modulus)):
                     out_id.append(did)
                     out_idx.append(i)
                     out_start.append(s)
                     out_len.append(e - s)
+                    piece = text[s:e]
                     out_sha.append(
-                        hashlib.sha256(text[s:e].encode("utf-8")).hexdigest()
+                        hashlib.sha256(
+                            piece
+                            if isinstance(piece, (bytes, bytearray))
+                            else piece.encode("utf-8")
+                        ).hexdigest()
                     )
                     if with_payload:
-                        out_text.append(text[s:e])
+                        out_text.append(piece)
             cols = {
                 "doc_id": pd.array(out_id, dtype="int64"),
                 "chunk_idx": pd.array(out_idx, dtype="int64"),
@@ -110,7 +120,11 @@ def chunk_documents(
                 "chunk_sha": pd.array(out_sha, dtype="string"),
             }
             if with_payload:
-                cols["chunk_text"] = pd.array(out_text, dtype="string")
+                cols["chunk_text"] = (
+                    pd.Series(out_text, dtype="object")
+                    if is_binary
+                    else pd.array(out_text, dtype="string")
+                )
             yield pd.DataFrame(cols)
 
     return src.mapInPandas(gen, schema=schema)
@@ -146,8 +160,11 @@ def chunk_keys(
                 for s, e in chunk_spans(text, window, modulus):
                     if e - s < min_chunk_len:
                         continue
+                    piece = text[s:e]
+                    if not isinstance(piece, (bytes, bytearray)):
+                        piece = piece.encode("utf-8")
                     k = int.from_bytes(
-                        hashlib.sha256(text[s:e].encode("utf-8")).digest()[:8],
+                        hashlib.sha256(piece).digest()[:8],
                         "big",
                         signed=True,
                     )

@@ -189,10 +189,31 @@ def confirm_pairs(
             jac = np.zeros(n, dtype=np.float64)
             lcs = np.zeros(n, dtype=np.int64)
             conf = np.zeros(n, dtype=np.int32)
-            for i, (a, b) in enumerate(zip(pdf["a_text"], pdf["b_text"])):
+            # per-batch memo: a star-capped hub doc appears in O(bucket)
+            # pairs — hash its shingle set once per batch, not once per pair
+            # (bounded by the batch's distinct docs; dropped between batches)
+            memo: dict[int, np.ndarray] = {}
+
+            def shingles_of(did: int, text: str) -> np.ndarray:
+                arr = memo.get(did)
+                if arr is None:
+                    arr = np.unique(
+                        hashing.shingle_hashes(text or "", cfg.shingle_k, BASE1)
+                    )
+                    memo[did] = arr
+                return arr
+
+            for i, (aid, bid, a, b) in enumerate(
+                zip(pdf["a_id"], pdf["b_id"], pdf["a_text"], pdf["b_text"])
+            ):
                 a = a or ""
                 b = b or ""
-                inter, union = jaccard_of(a, b, cfg)
+                ha = shingles_of(aid, a)
+                hb = shingles_of(bid, b)
+                inter = int(
+                    np.intersect1d(ha, hb, assume_unique=True).shape[0]
+                )
+                union = int(ha.shape[0] + hb.shape[0] - inter)
                 inters[i], unions[i] = inter, union
                 j = inter / union if union else (1.0 if a == b else 0.0)
                 jac[i] = j
