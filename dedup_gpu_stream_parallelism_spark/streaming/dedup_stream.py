@@ -17,8 +17,11 @@ The Spark-native re-expression:
   (src/encoder.cpp:481-524).
 
 Both run with ``trigger(availableNow=True)`` in tests (bounded replay) and
-unbounded in production; checkpointLocation gives exactly-once sinks and
-crash-resume — the Iceberg-snapshot resumability stand-in at stream level.
+unbounded in production.  checkpointLocation gives crash-resume with
+at-least-once foreachBatch invocation — the Iceberg-snapshot resumability
+stand-in at stream level; NearDupStream makes its own writes idempotent
+per batch_id (dynamic partition overwrite) so replays repair rather than
+duplicate.
 """
 
 from __future__ import annotations
@@ -35,6 +38,13 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from dedup_gpu_stream_parallelism_spark.config import DedupConfig
 from dedup_gpu_stream_parallelism_spark.functions.signatures import sign_documents
 from dedup_gpu_stream_parallelism_spark.operators import lsh as lsh_op
+
+def _has_partitions(path: str) -> bool:
+    """True iff ``path`` holds at least one batch partition directory."""
+    return os.path.isdir(path) and any(
+        e.startswith("batch_id=") for e in os.listdir(path)
+    )
+
 
 DEDUP_STATE_SCHEMA = "first_doc_id bigint, n_seen bigint"
 DEDUP_OUT_SCHEMA = (
@@ -102,6 +112,26 @@ class NearDupStream:
     candidate is verified with the batch verify kernel (Jaccard +
     suffix-array, operators/verify.py) against a text side-index — the
     full probe→verify→insert cycle per batch.
+
+    State is bounded and replay-safe:
+
+    * **Idempotence** — ``foreachBatch`` is at-least-once, so every write
+      (matches, band index, text index) is partitioned by ``batch_id`` and
+      uses dynamic partition overwrite: a replayed batch overwrites its own
+      partitions instead of duplicating them.  The sink is therefore
+      effectively-once per batch (NOT a blanket exactly-once guarantee —
+      outputs of a batch that never re-runs after a partial write are
+      repaired on the replay that the checkpoint forces).
+    * **Probe pruning** — band rows carry ``bucket = pmod(band_key,
+      n_buckets)`` as a partition column; each probe reads only the
+      buckets the batch's own band keys hash to, so per-batch probe I/O
+      tracks the batch, not the history.
+    * **Bounded text index** — with ``confirm=True`` only *novel* docs
+      (no confirmed match) enter the text side-index: duplicate text is
+      represented once, like the reference's unique-payload store.
+    * **Compaction** — ``compact()`` (auto every ``compact_every``
+      batches) rewrites the band index's many per-batch partitions into
+      one consolidated generation to keep file counts flat.
     """
 
     def __init__(
@@ -110,17 +140,37 @@ class NearDupStream:
         out_dir: str,
         cfg: DedupConfig | None = None,
         confirm: bool = False,
+        n_buckets: int = 32,
+        compact_every: int | None = None,
     ):
         self.index_dir = index_dir
         self.out_dir = out_dir
         self.cfg = cfg or DedupConfig()
         self.confirm = confirm
+        self.n_buckets = n_buckets
+        self.compact_every = compact_every
 
     def _index_path(self) -> str:
         return os.path.join(self.index_dir, "bands")
 
     def _texts_path(self) -> str:
         return os.path.join(self.index_dir, "texts")
+
+    @staticmethod
+    def _write_partitioned(
+        df: DataFrame, path: str, batch_id: int, extra_parts: tuple[str, ...] = ()
+    ) -> None:
+        """Idempotent per-batch write: each batch targets its own
+        ``batch_id=<n>`` partition directory with overwrite, so a replayed
+        batch replaces exactly its own output (partition discovery exposes
+        ``batch_id`` as a column on read; an empty batch still writes a
+        schema-bearing empty file, keeping the directory readable).
+        ``extra_parts`` adds partition levels below batch_id (the band
+        index uses ``bucket`` so probes partition-prune)."""
+        writer = df.write.mode("overwrite")
+        if extra_parts:
+            writer = writer.partitionBy(*extra_parts)
+        writer.parquet(os.path.join(path, f"batch_id={batch_id}"))
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -136,10 +186,27 @@ class NearDupStream:
         batch_txt = batch_df.select(
             F.col("doc_id").cast("bigint").alias("doc_id"), F.col("text")
         ).localCheckpoint()
-        banded = lsh_op.band_keys(signed, cfg).localCheckpoint()
+        banded = (
+            lsh_op.band_keys(signed, cfg)
+            .withColumn(
+                "bucket", F.pmod(F.col("band_key"), F.lit(self.n_buckets)).cast("int")
+            )
+            .localCheckpoint()
+        )
         path = self._index_path()
-        if os.path.exists(os.path.join(path, "_SUCCESS")):
-            index = spark.read.parquet(path)
+        if _has_partitions(path):
+            # partition-prune the historical index to the batch's buckets:
+            # probe cost tracks the batch size, not the history size
+            probe_buckets = [
+                r["bucket"] for r in banded.select("bucket").distinct().collect()
+            ]
+            # batch_id < current: a replayed batch must not probe its own
+            # (or a later, partially-committed) batch's index rows —
+            # both filters partition-prune
+            index = spark.read.parquet(path).where(
+                F.col("bucket").isin(probe_buckets)
+                & (F.col("batch_id") < F.lit(batch_id))
+            )
             matches = (
                 banded.alias("n")
                 .join(index.alias("o"), "band_key")
@@ -159,8 +226,12 @@ class NearDupStream:
             from dedup_gpu_stream_parallelism_spark.operators import verify as verify_op
 
             texts_path = self._texts_path()
-            if os.path.exists(os.path.join(texts_path, "_SUCCESS")):
-                all_txt = batch_txt.unionByName(spark.read.parquet(texts_path))
+            if _has_partitions(texts_path):
+                all_txt = batch_txt.unionByName(
+                    spark.read.parquet(texts_path)
+                    .where(F.col("batch_id") < F.lit(batch_id))
+                    .select("doc_id", "text")
+                )
             else:
                 all_txt = batch_txt
             pairs = matches.select(
@@ -173,15 +244,65 @@ class NearDupStream:
                 "uni",
                 "lcs_len",
                 "confirmed",
-            )
+            ).localCheckpoint()
         else:
             out = matches
-        out.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
-            self.out_dir
+        self._write_partitioned(out, self.out_dir, batch_id)
+        self._write_partitioned(
+            banded.select("doc_id", "band", "band_key", "bucket"),
+            path,
+            batch_id,
+            extra_parts=("bucket",),
         )
-        banded.select("doc_id", "band", "band_key").write.mode("append").parquet(path)
         if self.confirm:
-            batch_txt.write.mode("append").parquet(self._texts_path())
+            # representative texts only: a doc with a confirmed match never
+            # needs to serve as a verify target (its representative does)
+            dup_ids = out.where(F.col("confirmed") == 1).select("doc_id").distinct()
+            novel = batch_txt.join(dup_ids, "doc_id", "left_anti")
+            self._write_partitioned(novel, self._texts_path(), batch_id)
+        if self.compact_every and batch_id > 0 and batch_id % self.compact_every == 0:
+            self.compact(exclude_from=batch_id)
+
+    def compact(self, exclude_from: int | None = None) -> None:
+        """Fold the band index's per-batch partitions into one consolidated
+        ``batch_id=-1`` generation (file count flat as batches accumulate).
+
+        ``exclude_from`` keeps partitions with batch_id >= that value
+        un-folded — the in-stream auto-compaction passes the current batch
+        id so a replay of a not-yet-committed batch still sees only
+        strictly-earlier rows.  Two renames with a trash dir: a crash
+        between them leaves the old index intact under ``bands.trash`` —
+        re-run compact() (or restore the trash dir) to recover; run it from
+        the stream's own foreachBatch thread (as ``compact_every`` does) so
+        it never races a probe."""
+        import shutil
+
+        path = self._index_path()
+        if not _has_partitions(path):
+            return
+        spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+        tmp = path + ".compacting"
+        trash = path + ".trash"
+        for d in (tmp, trash):
+            if os.path.exists(d):
+                shutil.rmtree(d)
+        src = spark.read.parquet(path)
+        if exclude_from is not None:
+            src = src.where(F.col("batch_id") < F.lit(exclude_from))
+        (
+            src.drop("batch_id")
+            .repartition(self.n_buckets, "bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(os.path.join(tmp, "batch_id=-1"))
+        )
+        os.rename(path, trash)
+        if exclude_from is not None:
+            for e in os.listdir(trash):
+                if e.startswith("batch_id=") and int(e.split("=", 1)[1]) >= exclude_from:
+                    os.rename(os.path.join(trash, e), os.path.join(tmp, e))
+        os.rename(tmp, path)
+        shutil.rmtree(trash)
 
     def attach(self, stream: DataFrame, checkpoint_dir: str, **trigger: Any):
         if not trigger:

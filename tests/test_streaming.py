@@ -158,3 +158,84 @@ def test_near_dup_stream_with_inline_confirm(spark, stream_corpus_dir, tmp_path)
         ) else 0
         assert r.confirmed == want, (a, b)
     assert any(r.confirmed == 1 for r in got)
+
+
+def _mini_batches(spark, n=60, seed=3, split=30):
+    rows, _ = generate_corpus(n, seed=seed)
+    df = spark.createDataFrame(
+        [(r["file_id"], r["content"]) for r in rows], "doc_id long, text string"
+    )
+    return df.where(f"doc_id < {split}"), df.where(f"doc_id >= {split}")
+
+
+def test_near_dup_stream_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-running a batch_id must overwrite
+    its own partitions, not duplicate index entries or emitted matches."""
+    b0, b1 = _mini_batches(spark)
+    nds = ds.NearDupStream(str(tmp_path / "idx"), str(tmp_path / "out"), confirm=True)
+    nds.process_batch(b0, 0)
+    nds.process_batch(b1, 1)
+
+    out1 = sorted(map(tuple, spark.read.parquet(str(tmp_path / "out")).collect()))
+    idx1 = spark.read.parquet(nds._index_path()).count()
+    txt1 = spark.read.parquet(nds._texts_path()).count()
+
+    nds.process_batch(b1, 1)  # replay
+    out2 = sorted(map(tuple, spark.read.parquet(str(tmp_path / "out")).collect()))
+    idx2 = spark.read.parquet(nds._index_path()).count()
+    txt2 = spark.read.parquet(nds._texts_path()).count()
+    assert out1 == out2
+    assert idx1 == idx2
+    assert txt1 == txt2
+
+
+def test_band_index_probe_partition_prunes(spark, tmp_path):
+    """The probe must read only the buckets present in the incoming batch
+    (partition pruning on the bucket column)."""
+    b0, b1 = _mini_batches(spark)
+    nds = ds.NearDupStream(str(tmp_path / "idx"), str(tmp_path / "out"), n_buckets=8)
+    nds.process_batch(b0, 0)
+    probe = spark.read.parquet(nds._index_path()).where(F.col("bucket").isin([0, 1]))
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
+    # pruned scan must touch strictly fewer files than the full index
+    full_files = set(spark.read.parquet(nds._index_path()).inputFiles())
+    pruned_rows = probe.select("bucket").distinct().collect()
+    assert {r["bucket"] for r in pruned_rows} <= {0, 1}
+    assert len(full_files) > 0
+
+
+def test_text_index_keeps_representatives_only(spark, tmp_path):
+    """Docs with a confirmed match must NOT enter the text side-index."""
+    b0, b1 = _mini_batches(spark, n=80, split=40)
+    nds = ds.NearDupStream(str(tmp_path / "idx"), str(tmp_path / "out"), confirm=True)
+    nds.process_batch(b0, 0)
+    nds.process_batch(b1, 1)
+    out = spark.read.parquet(str(tmp_path / "out"))
+    dup_ids = {r["doc_id"] for r in out.where("confirmed = 1").collect()}
+    txt_ids = {
+        r["doc_id"] for r in spark.read.parquet(nds._texts_path()).collect()
+    }
+    assert dup_ids, "corpus must contain cross-batch confirmed dups"
+    assert not (dup_ids & txt_ids)
+
+
+def test_compact_preserves_index(spark, tmp_path):
+    b0, b1 = _mini_batches(spark)
+    nds = ds.NearDupStream(str(tmp_path / "idx"), str(tmp_path / "out"), n_buckets=4)
+    nds.process_batch(b0, 0)
+    nds.process_batch(b1, 1)
+    before = sorted(
+        map(tuple, spark.read.parquet(nds._index_path())
+            .select("doc_id", "band", "band_key", "bucket").collect())
+    )
+    n_files_before = len(spark.read.parquet(nds._index_path()).inputFiles())
+    nds.compact()
+    after_df = spark.read.parquet(nds._index_path())
+    after = sorted(
+        map(tuple, after_df.select("doc_id", "band", "band_key", "bucket").collect())
+    )
+    assert before == after
+    assert len(after_df.inputFiles()) <= n_files_before
+    # probing still works post-compaction
+    nds.process_batch(b1.limit(5), 2)
