@@ -293,6 +293,75 @@ def q_event_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing under the oracle: documents re-cast as an opaque
+    media table (payload = utf-8 bytes, type by id), pushed through the
+    Arrow feature-extraction stage (deterministic fake codec) and payload-
+    sha dedup.  The feature vector is dropped (not SQL-computable); the
+    dedup verdict columns are oracle-checked."""
+    from dedup_gpu_stream_parallelism_spark.operators import multimodal as mm
+
+    docs = _docs(spark, sf_dir)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    feats = mm.extract_features(media)  # fake codec; strict=False documented
+    return mm.media_dedup(feats).orderBy("media_id")
+
+
+def q_tpch_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-flavor rollup over lineitem: predicate pushed to the scan,
+    partial aggregation map-side, fixed-point integer sums so the oracle
+    compare is associativity-proof."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cents = F.floor(F.col("l_extendedprice") * 100).cast("long")
+    disc_cents = F.floor(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100
+    ).cast("long")
+    return (
+        li.where(F.col("l_quantity") < 30)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.floor(F.col("l_quantity")).cast("long")).alias("sum_qty"),
+            F.sum(cents).alias("sum_price_cents"),
+            F.sum(disc_cents).alias("sum_disc_price_cents"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_tpch_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-flavor star join: small dims (region, nation) broadcast —
+    no shuffle for them at any fact-table scale; the two big joins
+    (orders⋈lineitem, orders⋈customer) shuffle on their keys with AQE."""
+    r = F.broadcast(spark.read.parquet(f"{sf_dir}/region.parquet"))
+    n = F.broadcast(spark.read.parquet(f"{sf_dir}/nation.parquet"))
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    revenue = F.floor(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100
+    ).cast("long")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_lineitems"),
+            F.sum(revenue).alias("revenue_cents"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dup_clusters": q_exact_dup_clusters,
@@ -327,6 +396,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_window_stats": q_event_window_stats,
         "event_props_dedup": q_event_props_dedup,
         "binary_dedup_stats": q_binary_dedup_stats,
+        "media_payload_dedup": q_media_payload_dedup,
+        "tpch_pricing_summary": q_tpch_pricing_summary,
+        "tpch_region_revenue": q_tpch_region_revenue,
     }
 
 
@@ -433,4 +505,44 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dup": duck_sql.simhash_near_dup_sql(CFG, max_hamming=7),
         "confirmed_pairs": duck_sql.confirmed_pairs_sql(CFG),
         "near_dup_clusters": duck_sql.cluster_sql(CFG),
+        "media_payload_dedup": """
+            -- ASCII corpus: sha256(text) == sha256 of the utf-8 payload
+            SELECT doc_id AS media_id,
+                   CASE CAST(doc_id % 3 AS INT)
+                     WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
+                   END AS media_type,
+                   sha256(text) AS payload_sha,
+                   MIN(doc_id) OVER (PARTITION BY sha256(text))
+                     AS representative_id,
+                   CAST(doc_id <> MIN(doc_id) OVER (PARTITION BY sha256(text))
+                        AS INT) AS is_duplicate
+            FROM documents ORDER BY media_id
+        """,
+        "tpch_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(COUNT(*) AS BIGINT) AS n_items,
+                   CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT)
+                     AS sum_qty,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT))
+                        AS BIGINT) AS sum_price_cents,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount)
+                                       * 100) AS BIGINT)) AS BIGINT)
+                     AS sum_disc_price_cents
+            FROM lineitem
+            WHERE l_quantity < 30
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "tpch_region_revenue": """
+            SELECT r_name, n_name,
+                   CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount)
+                                       * 100) AS BIGINT)) AS BIGINT)
+                     AS revenue_cents
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
     }

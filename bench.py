@@ -51,9 +51,10 @@ def run_queries(sf_dir: str, cpus: int) -> dict:
     for name, fn in qs.items():
         t0 = time.monotonic()
         df = fn(spark, sf_dir)
-        n = df.count()
+        # noop sink materializes EVERY output column — count() would let
+        # Catalyst prune projections/sorts and time little more than the scan
+        df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.monotonic() - t0, 3)
-        del n
     total = round(time.monotonic() - total0, 3)
     flagship = timings.get("near_dup_clusters", total)
     result = {

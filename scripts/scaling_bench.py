@@ -42,6 +42,30 @@ def ensure_corpus(n_files: int, seed: int = 42) -> str:
     return path
 
 
+def run_sweep(corpus: str, cores: list[int], strategy: str) -> list[dict]:
+    """Core-count sweep of the flagship (the reference's 1..20-thread sweep,
+    benchmark/benchmark.py:26) — subprocess-isolated JVM per level."""
+    import subprocess
+
+    results = []
+    for cpus in cores:
+        out = subprocess.run(
+            [
+                sys.executable, os.path.join(REPO, "bench.py"),
+                "--single-run", str(cpus),
+                "--sf-dir", os.path.dirname(corpus),
+                "--input", corpus,
+                "--id-col", "file_id", "--text-col", "content",
+                "--strategy", strategy,
+            ],
+            capture_output=True, text=True, cwd=REPO, check=True,
+        )
+        r = json.loads(out.stdout.strip().splitlines()[-1])
+        results.append(r)
+        print(json.dumps(r), flush=True)
+    return results
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--n-files", type=int, default=100_000)
@@ -50,7 +74,37 @@ def main() -> None:
     p.add_argument("--n-cores", type=int, default=2)
     p.add_argument("--repeats", type=int, default=1)
     p.add_argument("--strategy", default="star")
+    p.add_argument(
+        "--sweep", default=None,
+        help="comma-separated core counts (e.g. 1,2,4,8,16,24,32): run the "
+             "flagship at each and append the knee table to BENCH.md",
+    )
     args = p.parse_args()
+
+    if args.sweep:
+        corpus = ensure_corpus(args.n_files)
+        cores = [int(c) for c in args.sweep.split(",")]
+        rows = run_sweep(corpus, cores, args.strategy)
+        base = rows[0]
+        md_rows = "\n".join(
+            f"| {r['cpus']} | {r['sec']} | {r['files_per_sec']} | "
+            f"{round(r['files_per_sec'] / base['files_per_sec'], 2)}x |"
+            for r in rows
+        )
+        md = f"""
+## Core-count sweep ({args.n_files:,} files, strategy `{args.strategy}`)
+
+The reference's 1..20-thread sweep analog (benchmark/benchmark.py:26); one
+subprocess-isolated JVM per level, python workers pre-warmed.
+
+| cores | wall (s) | files/sec | speedup vs {base['cpus']} |
+|---|---|---|---|
+{md_rows}
+"""
+        with open(os.path.join(REPO, "BENCH.md"), "a") as f:
+            f.write(md)
+        print(json.dumps({"sweep": rows}))
+        return
 
     corpus = ensure_corpus(args.n_files)
     result = bench.run_scaling(
