@@ -55,6 +55,20 @@ def q_dedup_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_dedup_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append workflow: first half of the corpus becomes the existing
+    manifest, the second half is deduped incrementally against it
+    (exact.dedup_increment).  Union must equal the one-shot manifest over
+    the full corpus — the oracle IS the dedup_manifest SQL."""
+    docs = _docs(spark, sf_dir)
+    split = docs.count() // 2
+    old = docs.where(F.col("doc_id") < split)
+    new = docs.where(F.col("doc_id") >= split)
+    old_manifest = exact_op.dedup_manifest(old, "doc_id", "text")
+    inc = exact_op.dedup_increment(old_manifest, new, "doc_id", "text")
+    return old_manifest.unionByName(inc).orderBy("doc_id")
+
+
 def q_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_op.dedup_stats(_docs(spark, sf_dir), "doc_id", "text")
 
@@ -366,6 +380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dup_clusters": q_exact_dup_clusters,
         "dedup_manifest": q_dedup_manifest,
+        "incremental_dedup_manifest": q_incremental_dedup_manifest,
         "dedup_stats": q_dedup_stats,
         "cdc_chunk_stats": q_cdc_chunk_stats,
         "near_dup_clusters": q_near_dup_clusters,
@@ -415,6 +430,23 @@ def oracle_sql() -> dict[str, str]:
             FROM h ORDER BY doc_id
         """,
         "dedup_manifest": """
+            WITH h AS (
+              SELECT doc_id, sha256(text) AS sha256, length(text) AS _len
+              FROM documents
+            ), c AS (
+              SELECT doc_id, sha256, _len,
+                     MIN(doc_id) OVER (PARTITION BY sha256) AS representative_id
+              FROM h
+            )
+            SELECT doc_id, sha256, representative_id,
+                   CAST(doc_id <> representative_id AS INT) AS is_duplicate,
+                   CAST(CASE WHEN doc_id = representative_id THEN _len ELSE 0 END
+                        AS BIGINT) AS payload_chars
+            FROM c ORDER BY doc_id
+        """,
+        "incremental_dedup_manifest": """
+            -- incremental(old half) ∪ one-shot(new half vs old) must equal
+            -- the one-shot manifest over the whole corpus
             WITH h AS (
               SELECT doc_id, sha256(text) AS sha256, length(text) AS _len
               FROM documents

@@ -135,6 +135,62 @@ def decode_roundtrip(
     )
 
 
+def dedup_increment(
+    old_manifest: DataFrame,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Dedup a NEW batch against an EXISTING manifest — the append workflow
+    (the reference's encoder probing an already-populated hash table,
+    src/encoder.cpp:481-524: present → fingerprint record, absent → insert).
+
+    Returns manifest rows for the new docs only: a new doc whose sha exists
+    in ``old_manifest`` points at the OLD representative and stores no
+    payload; shas novel to this batch dedup among themselves (min new id
+    wins).  ``unionByName(old_manifest, result)`` is the updated manifest —
+    identical to re-running ``dedup_manifest`` over the full corpus when new
+    ids sort after old ones.
+
+    One sha-key shuffle join against the old reps + one window over the new
+    batch; the old manifest is never rewritten (append-only, snapshot-
+    friendly).
+    """
+    new_hashed = new_docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.sha2(F.col(text_col), 256).alias("sha256"),
+        F.length(text_col).alias("_len"),
+    )
+    old_reps = (
+        old_manifest.where(F.col("is_duplicate") == 0)
+        .select("sha256", F.col("doc_id").alias("_old_rep"))
+    )
+    w = Window.partitionBy("sha256")
+    return (
+        new_hashed.join(old_reps, "sha256", "left")
+        .select(
+            "doc_id",
+            "sha256",
+            "_len",
+            F.coalesce(F.col("_old_rep"), F.min("doc_id").over(w)).alias(
+                "representative_id"
+            ),
+        )
+        .select(
+            "doc_id",
+            "sha256",
+            "representative_id",
+            (F.col("doc_id") != F.col("representative_id")).cast("int").alias(
+                "is_duplicate"
+            ),
+            F.when(F.col("doc_id") == F.col("representative_id"), F.col("_len"))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("payload_chars"),
+        )
+    )
+
+
 def dedup_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """The ``-v`` statistics block (print_stats, src/encoder.cpp:131-177):
     total rows/chars, distinct content, duplicate count, dedup factor.

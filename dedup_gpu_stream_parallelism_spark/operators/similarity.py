@@ -33,28 +33,110 @@ def _normalized_matrix(pdf: pd.DataFrame, id_col: str, vec_col: str):
     return ids, mat / norms[:, None]
 
 
+def _blocked_topk(src: DataFrame, k: int, n_blocks: int) -> DataFrame:
+    """Exact distributed top-k: every (query block, index block) pair is one
+    cogrouped GEMM task emitting block-local top-k; a global per-vector
+    re-rank merges them.  Correct because any global top-k neighbour is in
+    its own block's local top-k.  No driver collect, no broadcast; FLOPs
+    stay O(n²) — that is what exact all-pairs ranking costs (sub-quadratic
+    path: ``ann_lsh_topk``)."""
+    from pyspark.sql import Window
+
+    spark = src.sparkSession
+    blocked = src.withColumn(
+        "blk", F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks)).cast("int")
+    )
+    pairs_list = [(i, j) for i in range(n_blocks) for j in range(n_blocks)]
+    left = blocked.join(
+        spark.createDataFrame(pairs_list, "l_bi int, l_bj int"),
+        blocked["blk"] == F.col("l_bi"),
+    ).select(F.col("l_bi").alias("bi"), F.col("l_bj").alias("bj"), "vec_id", "vec")
+    right = blocked.join(
+        spark.createDataFrame(pairs_list, "r_bi int, r_bj int"),
+        blocked["blk"] == F.col("r_bj"),
+    ).select(
+        F.col("r_bi").alias("bi"),
+        F.col("r_bj").alias("bj"),
+        F.col("vec_id").alias("rvec_id"),
+        F.col("vec").alias("rvec"),
+    )
+
+    def gemm_topk(key, lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"vec_id": [], "neighbor_id": [], "cosine": []}
+        ).astype({"vec_id": "int64", "neighbor_id": "int64", "cosine": "float64"})
+        if not len(lpdf) or not len(rpdf):
+            return empty
+        q_ids, q_mat = _normalized_matrix(lpdf, "vec_id", "vec")
+        i_ids, i_mat = _normalized_matrix(rpdf, "rvec_id", "rvec")
+        sims = np.round(q_mat @ i_mat.T, 6)
+        # self-similarity never enters top-k
+        self_mask = q_ids[:, None] == i_ids[None, :]
+        sims[self_mask] = -np.inf
+        kk = min(k, sims.shape[1])
+        order = np.lexsort(
+            (np.broadcast_to(i_ids, sims.shape), -sims), axis=1
+        )[:, :kk]
+        rows = np.repeat(q_ids, kk)
+        cos = sims[np.arange(len(q_ids))[:, None], order].ravel()
+        keep = cos > -np.inf
+        return pd.DataFrame(
+            {
+                "vec_id": rows[keep],
+                "neighbor_id": i_ids[order].ravel()[keep],
+                "cosine": cos[keep],
+            }
+        )
+
+    local = (
+        left.groupBy("bi", "bj")
+        .cogroup(right.groupBy("bi", "bj"))
+        .applyInPandas(
+            gemm_topk, schema="vec_id bigint, neighbor_id bigint, cosine double"
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 def cosine_topk(
     emb: DataFrame,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    strategy: str = "broadcast",
+    n_blocks: int = 4,
 ) -> DataFrame:
     """Exact top-k cosine neighbours for every vector (self excluded).
 
-    Physical plan: the index side is collected once on the driver and
-    broadcast (read-only numpy matrix) to every task; queries stream
-    through ``mapInPandas`` and hit the index with one float64 GEMM per
-    Arrow batch, then ``argpartition`` top-k.  At 100 TB the broadcast side
-    is the (much smaller) representative/centroid set — for index sides too
-    big to broadcast, switch to ``ann_lsh_topk``.
+    ``strategy="broadcast"`` (default): the index side is collected once on
+    the driver and broadcast (read-only numpy matrix) to every task;
+    queries stream through ``mapInPandas`` and hit the index with one
+    float64 GEMM per Arrow batch.  Refuses above ``BROADCAST_MAX_ROWS``.
+    ``strategy="blocked"``: fully distributed block-matrix ranking — no
+    driver collect at any size (``_blocked_topk``).  Beyond exact budgets,
+    ``ann_lsh_topk`` is the sub-quadratic path.
 
     Ties broken by neighbor_id ascending (matches the SQL oracle's
     ORDER BY cosine DESC, neighbor_id).
     """
     spark = emb.sparkSession
     src = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+    if strategy == "blocked":
+        return _blocked_topk(src, k, n_blocks)
+    if strategy != "broadcast":
+        raise ValueError(f"unknown strategy {strategy!r}")
     # index must be id-sorted: self-exclusion uses searchsorted
     index_pdf = src.toPandas().sort_values("vec_id").reset_index(drop=True)
+    if len(index_pdf) > BROADCAST_MAX_ROWS:
+        raise ValueError(
+            f"broadcast strategy refused: {len(index_pdf)} rows > "
+            f"{BROADCAST_MAX_ROWS}; use strategy='blocked'"
+        )
     idx_ids, idx_mat = _normalized_matrix(index_pdf, "vec_id", "vec")
     bc = spark.sparkContext.broadcast((idx_ids, idx_mat))
 

@@ -22,6 +22,10 @@ CASES = {
     "lsh_candidates": "exactly ONE band-key exchange: partial ObjectHashAggregate (collect_set) map-side, pair expansion via Generate (JVM array exprs), then 2-phase distinct",
     "cosine_topk": "index broadcast once; queries stream through a single MapInPandas — no join, no shuffle before the output sort",
     "simhash_near_dup": "slice groupBy exchange + two shuffle-hash joins to attach fingerprints; bit_count filter JVM-side",
+    "embedding_near_dup": "NO driver collect: block-pair replication joins + one cogrouped FlatMapCoGroupsInPandas GEMM per block pair, then CC",
+    "chunk_roundtrip_check": "chunk store groupBy has partial_first map-side; decode = one sha join + one doc_id aggregation (sort-order concat inside)",
+    "tpch_pricing_summary": "l_quantity predicate in PushedFilters; ReadSchema pruned to 5 columns; partial HashAggregate before the exchange",
+    "tpch_region_revenue": "region/nation joined via BroadcastHashJoin (no shuffle for dims); big joins shuffle on keys under AQE",
 }
 
 

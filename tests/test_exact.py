@@ -86,5 +86,8 @@ def test_decode_strict_fails_on_missing_representative(spark, corpus_df):
     )
     manifest, store = exact_op.encode_store(docs)
     broken = store.limit(0)  # empty store: every row missing
-    with pytest.raises(ValueError, match="referential integrity"):
-        exact_op.decode_roundtrip(manifest, broken)
+    # strict mode is lazy: construction runs no job; the per-record
+    # raise_error fires executor-side during the decode action
+    df = exact_op.decode_roundtrip(manifest, broken)
+    with pytest.raises(Exception, match="referential integrity"):
+        df.collect()

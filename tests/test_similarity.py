@@ -113,3 +113,15 @@ def test_broadcast_refuses_above_cap(spark, emb, monkeypatch):
     monkeypatch.setattr(sim, "BROADCAST_MAX_ROWS", 3)
     with pytest.raises(ValueError, match="broadcast strategy refused"):
         sim.cosine_near_dup_pairs(emb, threshold=0.4, strategy="broadcast")
+
+
+def test_blocked_topk_matches_broadcast(spark, emb):
+    """Distributed block-matrix top-k must equal the broadcast kernel
+    exactly (ids, ranks, rounded cosines)."""
+    broad = sorted(
+        map(tuple, sim.cosine_topk(emb, k=4, strategy="broadcast").collect())
+    )
+    block = sorted(
+        map(tuple, sim.cosine_topk(emb, k=4, strategy="blocked", n_blocks=3).collect())
+    )
+    assert broad == block
