@@ -104,3 +104,41 @@ def test_hamming62_matches_bitcount(vals):
     got = hashing.hamming62(a.copy(), b.copy()).tolist()
     want = [bin(x ^ y).count("1") for x, y in zip(vals, np.roll(vals, 1).tolist())]
     assert got == want
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.text(alphabet="ab", max_size=150), st.integers(min_value=3, max_value=40))
+def test_windowed_match_lengths_property(text, window):
+    got = lpf.windowed_match_lengths(text, window=window).tolist()
+    n = len(text)
+    want = []
+    for i in range(n):
+        best = 0
+        for j in range(max(0, i - window), i):
+            k = 0
+            while k < lpf.MAX_CODED and i + k < n and text[j + k] == text[i + k]:
+                k += 1
+            best = max(best, k)
+        want.append(best if best >= 3 else 0)
+    assert got == want
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.binary(max_size=300))
+def test_bytes_and_ascii_codes_coincide(data):
+    """For bytes, codes are raw byte values; for the ASCII subset this must
+    equal the str codepoint path (the binary-ingestion invariant)."""
+    got = hashing.text_codes(data).tolist()
+    assert got == list(data)
+    ascii_part = bytes(b for b in data if b < 128)
+    assert (
+        hashing.text_codes(ascii_part).tolist()
+        == hashing.text_codes(ascii_part.decode("ascii")).tolist()
+    )
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.binary(max_size=400))
+def test_cdc_chunks_reassemble_bytes(data):
+    spans = chunk.chunk_spans(data)
+    assert b"".join(data[s:e] for s, e in spans) == data
