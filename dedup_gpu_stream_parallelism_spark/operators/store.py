@@ -147,6 +147,53 @@ def chunk_roundtrip_check(
     )
 
 
+def write_bucketed_store(
+    manifest: DataFrame,
+    store: DataFrame,
+    name_prefix: str = "ddp",
+    n_buckets: int = 16,
+) -> tuple[str, str]:
+    """Persist (manifest, store) as tables BUCKETED BY chunk_sha.
+
+    Bucketing co-locates the decode join's two sides: both tables hash-
+    partition on chunk_sha at WRITE time, so every future
+    ``manifest ⋈ store`` runs with NO exchange on either side — at 100 TB
+    the decode (and any chunk-key audit join) becomes a zip of
+    co-partitioned buckets instead of a full shuffle of the store.  This is
+    the Spark-native analog of the reference's persistent hash-table file
+    layout (the ``.ddp`` stream is physically ordered by hash bucket,
+    src/hashtable.cpp:69-210).
+
+    Returns the two table names (``<prefix>_manifest``, ``<prefix>_store``).
+    """
+    mt, st = f"{name_prefix}_manifest", f"{name_prefix}_store"
+    (
+        manifest.write.mode("overwrite")
+        .bucketBy(n_buckets, "chunk_sha")
+        .sortBy("chunk_sha")
+        .format("parquet")
+        .saveAsTable(mt)
+    )
+    (
+        store.write.mode("overwrite")
+        .bucketBy(n_buckets, "chunk_sha")
+        .sortBy("chunk_sha")
+        .format("parquet")
+        .saveAsTable(st)
+    )
+    return mt, st
+
+
+def decode_from_tables(
+    spark, manifest_table: str, store_table: str, strict: bool = True
+) -> DataFrame:
+    """``chunk_decode`` over bucketed tables — the join side of the plan
+    carries no Exchange (see tests/test_store.py plan assertion)."""
+    return chunk_decode(
+        spark.table(manifest_table), spark.table(store_table), strict=strict
+    )
+
+
 def chunk_store_stats(manifest: DataFrame, store: DataFrame) -> DataFrame:
     """Storage-contract statistics: how much the chunk store actually saves
     (the -v block's dedup factor at chunk granularity, encoder.cpp:131-177).

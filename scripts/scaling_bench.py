@@ -42,27 +42,43 @@ def ensure_corpus(n_files: int, seed: int = 42) -> str:
     return path
 
 
-def run_sweep(corpus: str, cores: list[int], strategy: str) -> list[dict]:
+def run_sweep(
+    corpus: str,
+    cores: list[int],
+    strategy: str,
+    repeats: int = 2,
+    settle: int = 45,
+) -> list[dict]:
     """Core-count sweep of the flagship (the reference's 1..20-thread sweep,
-    benchmark/benchmark.py:26) — subprocess-isolated JVM per level."""
+    benchmark/benchmark.py:26) — subprocess-isolated JVM per level.
+
+    ``settle`` seconds of idle before every run: this host shows up to 2x
+    slowdown for minutes after a previous Spark JVM exits (BENCH.md), so
+    back-to-back levels contaminate each other.  Best-of-``repeats``."""
     import subprocess
+    import time
 
     results = []
     for cpus in cores:
-        out = subprocess.run(
-            [
-                sys.executable, os.path.join(REPO, "bench.py"),
-                "--single-run", str(cpus),
-                "--sf-dir", os.path.dirname(corpus),
-                "--input", corpus,
-                "--id-col", "file_id", "--text-col", "content",
-                "--strategy", strategy,
-            ],
-            capture_output=True, text=True, cwd=REPO, check=True,
-        )
-        r = json.loads(out.stdout.strip().splitlines()[-1])
-        results.append(r)
-        print(json.dumps(r), flush=True)
+        best = None
+        for _ in range(repeats):
+            time.sleep(settle)
+            out = subprocess.run(
+                [
+                    sys.executable, os.path.join(REPO, "bench.py"),
+                    "--single-run", str(cpus),
+                    "--sf-dir", os.path.dirname(corpus),
+                    "--input", corpus,
+                    "--id-col", "file_id", "--text-col", "content",
+                    "--strategy", strategy,
+                ],
+                capture_output=True, text=True, cwd=REPO, check=True,
+            )
+            r = json.loads(out.stdout.strip().splitlines()[-1])
+            print(json.dumps(r), flush=True)
+            if best is None or r["sec"] < best["sec"]:
+                best = r
+        results.append(best)
     return results
 
 
@@ -84,7 +100,7 @@ def main() -> None:
     if args.sweep:
         corpus = ensure_corpus(args.n_files)
         cores = [int(c) for c in args.sweep.split(",")]
-        rows = run_sweep(corpus, cores, args.strategy)
+        rows = run_sweep(corpus, cores, args.strategy, repeats=max(args.repeats, 2))
         base = rows[0]
         md_rows = "\n".join(
             f"| {r['cpus']} | {r['sec']} | {r['files_per_sec']} | "

@@ -99,3 +99,39 @@ def test_chunk_store_stats_consistent(encoded):
     assert row["n_chunk_refs"] >= row["n_unique_chunks"] > 0
     assert row["total_chars"] >= row["stored_chars"] > 0
     assert row["space_saving_factor"] >= 1.0
+
+
+def test_bucketed_store_join_has_no_exchange(spark, encoded, corpus_df):
+    """Bucketed-by-chunk_sha tables must join with NO shuffle on either
+    side (the co-located decode path), and decode output must match the
+    unbucketed path exactly."""
+    manifest, store = encoded
+    mt, st = store_op.write_bucketed_store(manifest, store, name_prefix="t_ddp",
+                                           n_buckets=4)
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # at test size the planner would rightly broadcast the store —
+        # disable broadcast to expose the big-table plan the bucketing is
+        # for: SortMergeJoin over two bucketed scans with NO Exchange
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table(mt).join(
+            spark.table(st).select("chunk_sha", "payload"), "chunk_sha"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:2000]
+        assert "SortMergeJoin" in plan
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+
+        decoded_b = {
+            r["doc_id"]: r["text"]
+            for r in store_op.decode_from_tables(spark, mt, st).collect()
+        }
+        decoded_u = {
+            r["doc_id"]: r["text"]
+            for r in store_op.chunk_decode(manifest, store).collect()
+        }
+        assert decoded_b == decoded_u
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        spark.sql(f"DROP TABLE IF EXISTS {mt}")
+        spark.sql(f"DROP TABLE IF EXISTS {st}")
