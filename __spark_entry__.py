@@ -129,6 +129,17 @@ def q_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH bucket-size histogram — the skew diagnostic that justifies the
+    star cap (the reference's chunk-size histogram, encoder.h:38-44)."""
+    from dedup_gpu_stream_parallelism_spark.operators import lsh as lsh_op
+
+    banded = lsh_op.band_keys(_signed(spark, sf_dir), CFG)
+    return lsh_op.bucket_stats(banded).select(
+        F.col("bucket_n").cast("bigint").alias("bucket_n"), "n_buckets"
+    ).orderBy("bucket_n")
+
+
 def q_confirmed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidates (LSH ∪ CDC) verified by Jaccard / suffix-array substring —
     exact-integer (inter, uni) so the oracle compare is float-free."""
@@ -388,6 +399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "simhash_values": q_simhash_values,
         "lsh_candidates": q_lsh_candidates,
+        "bucket_stats": q_bucket_stats,
         "simhash_near_dup": q_simhash_near_dup,
         "confirmed_pairs": q_confirmed_pairs,
         "roundtrip_check": q_roundtrip_check,
@@ -534,6 +546,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": duck_sql.minhash_sql(CFG),
         "simhash_values": duck_sql.simhash_sql(CFG),
         "lsh_candidates": duck_sql.lsh_candidates_sql(CFG),
+        "bucket_stats": duck_sql.bucket_stats_sql(CFG),
         "simhash_near_dup": duck_sql.simhash_near_dup_sql(CFG, max_hamming=7),
         "confirmed_pairs": duck_sql.confirmed_pairs_sql(CFG),
         "near_dup_clusters": duck_sql.cluster_sql(CFG),

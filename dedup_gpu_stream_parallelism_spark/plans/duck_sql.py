@@ -197,6 +197,24 @@ def signature_ctes(cfg: DedupConfig) -> str:
   )"""
 
 
+def bucket_stats_sql(cfg: DedupConfig | None = None) -> str:
+    """Bucket-size histogram oracle.  The Spark side buckets by
+    xxhash64(band, values); the oracle by the exact (band, value-list) —
+    identical partitions unless a 64-bit hash collides (~2^-52 at sf0.01),
+    in which case the histogram shifts and the compare fails loudly."""
+    cfg = cfg or DedupConfig()
+    return f"""
+WITH
+{signature_ctes(cfg)},
+  sizes AS (
+    SELECT band, bkey, CAST(COUNT(*) AS BIGINT) AS bucket_n
+    FROM bands GROUP BY band, bkey
+  )
+SELECT bucket_n, CAST(COUNT(*) AS BIGINT) AS n_buckets
+FROM sizes GROUP BY bucket_n ORDER BY bucket_n
+"""
+
+
 def cdc_ctes() -> str:
     """CDC chunk CTEs (window={CDC_WINDOW}, avg chunk={CDC_MODULUS})."""
     w = CDC_WINDOW
