@@ -118,10 +118,16 @@ def extract_features(
                 }
             )
 
-    # repartition by media type first: codec working sets differ wildly per
-    # type (video >> image), so type-homogeneous tasks avoid stragglers —
-    # the reference's size-based kernel routing (src/encoder_spar.cpp:272-280)
-    return media.repartition("media_type").mapInPandas(gen, schema=FEATURES_SCHEMA)
+    # type-homogeneous tasks avoid codec-working-set stragglers (video >>
+    # image — the reference's size-based kernel routing,
+    # src/encoder_spar.cpp:272-280), but partitioning by type ALONE caps
+    # parallelism at #types; salt with the id so each task is one
+    # (type, shard) — homogeneous AND cluster-wide
+    spark = media.sparkSession
+    shards = max(1, spark.sparkContext.defaultParallelism)
+    return media.repartition(
+        shards, "media_type", F.pmod(F.col("media_id"), F.lit(shards))
+    ).mapInPandas(gen, schema=FEATURES_SCHEMA)
 
 
 def media_dedup(features: DataFrame) -> DataFrame:
