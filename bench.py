@@ -163,7 +163,10 @@ def run_scaling(
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
-    p.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    # fallback 8: this host delivers ~18 effective cores and local[8] beats
+    # local[32] end-to-end (BENCH.md core sweep); an explicit
+    # SPARK_GRAFT_CPUS always wins
+    p.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
     p.add_argument("--scaling", action="store_true", help="N vs 4N scaling run")
     p.add_argument("--scaling-n", type=int, default=8)
     p.add_argument("--repeats", type=int, default=1)

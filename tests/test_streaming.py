@@ -239,3 +239,59 @@ def test_compact_preserves_index(spark, tmp_path):
     assert len(after_df.inputFiles()) <= n_files_before
     # probing still works post-compaction
     nds.process_batch(b1.limit(5), 2)
+
+
+def test_exact_dedup_stream_resumes_from_checkpoint(spark, tmp_path):
+    """Two SEPARATE availableNow runs over a growing source with the same
+    checkpoint: run 2 must process only the new files, and first-writer-wins
+    state must persist across the restart (a dup of a run-1 doc points at
+    the run-1 representative)."""
+    src_dir = str(tmp_path / "src")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    rows, _ = generate_corpus(40, seed=21)
+    df = spark.createDataFrame(
+        [(r["file_id"], r["content"]) for r in rows], "doc_id long, text string"
+    )
+    first = df.where("doc_id < 20")
+    first.coalesce(1).write.mode("overwrite").parquet(src_dir)
+
+    def run_once():
+        src = spark.readStream.schema("doc_id long, text string").parquet(src_dir)
+        q = (
+            ds.exact_dedup_stream(src)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    out1 = spark.read.parquet(out_dir)
+    assert out1.count() == 20
+
+    # append: copies of run-1 REPRESENTATIVES (cross-restart dups whose
+    # expected rep is the copied doc itself) + fresh docs
+    rep_ids = [
+        r["doc_id"]
+        for r in out1.where("doc_id = representative_id").limit(5).collect()
+    ]
+    assert len(rep_ids) == 5
+    second = df.where("doc_id >= 20").unionByName(
+        first.where(F.col("doc_id").isin(rep_ids)).selectExpr(
+            "doc_id + 1000 AS doc_id", "text"
+        )
+    )
+    second.coalesce(1).write.mode("append").parquet(src_dir)
+    run_once()
+
+    got = spark.read.parquet(out_dir)
+    assert got.count() == 45  # 20 + 20 + 5, each input row exactly once
+    # the 5 cross-restart copies must be duplicates pointing at run-1 reps
+    cross = got.where("doc_id >= 1000")
+    assert cross.count() == 5
+    for r in cross.collect():
+        assert r["is_duplicate"] == 1
+        assert r["representative_id"] == r["doc_id"] - 1000
