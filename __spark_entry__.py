@@ -247,6 +247,15 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_op.ann_lsh_topk(_emb(spark, sf_dir), k=5).orderBy("vec_id", "rank")
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer ANN — the alternative bucketing scheme to
+    hyperplane LSH (rows-only: approximate by construction; recall vs
+    exact asserted in tests/test_similarity.py)."""
+    return sim_op.ivf_topk(
+        _emb(spark, sf_dir), k=5, n_centroids=16, n_probe=6
+    ).orderBy("vec_id", "rank")
+
+
 def q_ann_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate threshold pairs — the sub-quadratic 100 TB
     pair generator (precision 1 by in-bucket exact verify; recall asserted
@@ -418,6 +427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         # approximate by construction: rows-only (recall vs exact in tests)
         "ann_near_dup": q_ann_near_dup,
+        "ivf_topk": q_ivf_topk,
         "embedding_stats": q_embedding_stats,
         "embedding_near_dup": q_embedding_near_dup,
         "event_window_stats": q_event_window_stats,

@@ -350,6 +350,165 @@ def _blocked_threshold_pairs(
     )
 
 
+def ivf_topk(
+    emb: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    lloyd_iters: int = 1,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via IVF (inverted file): the classic coarse-
+    quantizer ANN — the alternative bucketing scheme to hyperplane LSH
+    (``ann_lsh_topk``); same verify-exactly-within-bucket contract.
+
+    * centroids: deterministic seed rows (n_centroids smallest
+      xxhash64(vec_id)) refined by ``lloyd_iters`` distributed k-means
+      steps (assignment = broadcast-centroid GEMM; update = groupBy mean —
+      centroid table is tiny, driver-collected by construction);
+    * index: every vector assigned to its nearest centroid → one
+      groupBy(centroid) bucket table;
+    * query: each vector probes its ``n_probe`` nearest centroids —
+      rows replicated n_probe-fold into the bucket join, exact GEMM
+      inside each bucket, global per-vector re-rank.
+
+    Recall rises with n_probe (cost linear); at 100 TB the centroid count
+    scales as sqrt(n) and the bucket groupBy stays the only big shuffle.
+    Approximate by construction → rows-only driver check; recall vs exact
+    asserted in tests/test_similarity.py.
+    """
+    from pyspark.sql import Window
+
+    spark = emb.sparkSession
+    src = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+
+    # deterministic seed centroids: no sampling RNG, no external data
+    seed_rows = (
+        src.withColumn("_h", F.xxhash64("vec_id", F.lit(seed)))
+        .orderBy("_h")
+        .limit(n_centroids)
+        .collect()
+    )
+    cent = np.array(
+        [np.asarray(r["vec"], dtype=np.float64) for r in seed_rows]
+    )
+    cent /= np.maximum(np.linalg.norm(cent, axis=1), 1e-12)[:, None]
+
+    def assign_factory(centroids: np.ndarray, out_col: str):
+        bc = spark.sparkContext.broadcast(centroids)
+
+        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            c = bc.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                ids, mat = _normalized_matrix(pdf, "vec_id", "vec")
+                out = pdf[["vec_id", "vec"]].copy()
+                out[out_col] = np.argmax(mat @ c.T, axis=1).astype(np.int32)
+                yield out
+
+        return gen
+
+    for _ in range(max(0, lloyd_iters)):
+        assigned = src.mapInPandas(
+            assign_factory(cent, "centroid"),
+            schema="vec_id bigint, vec array<float>, centroid int",
+        )
+        means = (
+            assigned.select(
+                "centroid", F.transform("vec", lambda x: x.cast("double")).alias("v")
+            )
+            .groupBy("centroid")
+            .agg(
+                F.array(*[
+                    F.avg(F.element_at("v", i + 1)) for i in range(cent.shape[1])
+                ]).alias("mean_vec")
+            )
+            .collect()
+        )
+        new_cent = cent.copy()
+        for r in means:
+            v = np.asarray(r["mean_vec"], dtype=np.float64)
+            n = np.linalg.norm(v)
+            if n > 1e-12:
+                new_cent[r["centroid"]] = v / n
+        cent = new_cent
+
+    # final index assignment with the refined centroids
+    index = src.mapInPandas(
+        assign_factory(cent, "centroid"),
+        schema="vec_id bigint, vec array<float>, centroid int",
+    ).select(
+        F.col("vec_id").alias("ivec_id"),
+        F.col("vec").alias("ivec"),
+        "centroid",
+    )
+
+    # queries replicate to their n_probe nearest centroids
+    bc_cent = spark.sparkContext.broadcast(cent)
+    probe = min(n_probe, cent.shape[0])
+
+    def probe_gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = bc_cent.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids, mat = _normalized_matrix(pdf, "vec_id", "vec")
+            sims = mat @ c.T
+            near = np.argsort(-sims, axis=1)[:, :probe].astype(np.int32)
+            rep = pdf[["vec_id", "vec"]].iloc[
+                np.repeat(np.arange(len(pdf)), probe)
+            ].reset_index(drop=True)
+            rep["centroid"] = near.ravel()
+            yield rep
+
+    queries = src.mapInPandas(
+        probe_gen, schema="vec_id bigint, vec array<float>, centroid int"
+    )
+
+    def per_bucket(key, qpdf: pd.DataFrame, ipdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"vec_id": [], "neighbor_id": [], "cosine": []}
+        ).astype({"vec_id": "int64", "neighbor_id": "int64", "cosine": "float64"})
+        if not len(qpdf) or not len(ipdf):
+            return empty
+        q_ids, q_mat = _normalized_matrix(qpdf, "vec_id", "vec")
+        i_ids, i_mat = _normalized_matrix(ipdf, "ivec_id", "ivec")
+        sims = np.round(q_mat @ i_mat.T, 6)
+        sims[q_ids[:, None] == i_ids[None, :]] = -np.inf
+        kk = min(k, sims.shape[1])
+        order = np.lexsort((np.broadcast_to(i_ids, sims.shape), -sims), axis=1)[:, :kk]
+        rows = np.repeat(q_ids, kk)
+        cos = sims[np.arange(len(q_ids))[:, None], order].ravel()
+        keep = cos > -np.inf
+        return pd.DataFrame(
+            {
+                "vec_id": rows[keep],
+                "neighbor_id": i_ids[order].ravel()[keep],
+                "cosine": cos[keep],
+            }
+        )
+
+    local = (
+        queries.groupBy("centroid")
+        .cogroup(index.groupBy("centroid"))
+        .applyInPandas(
+            per_bucket, schema="vec_id bigint, neighbor_id bigint, cosine double"
+        )
+    )
+    merged = local.groupBy("vec_id", "neighbor_id").agg(
+        F.max("cosine").alias("cosine")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        merged.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 def cosine_near_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.55,

@@ -125,3 +125,24 @@ def test_blocked_topk_matches_broadcast(spark, emb):
         map(tuple, sim.cosine_topk(emb, k=4, strategy="blocked", n_blocks=3).collect())
     )
     assert broad == block
+
+
+def test_ivf_topk_recall_vs_exact(spark, emb):
+    """IVF ANN: ranks gapless 1..k per vector; recall@5 vs exact must clear
+    the same floor as hyperplane LSH on random vectors; results are a
+    subset of valid (non-self) pairs."""
+    exact = {
+        (r.vec_id, r.neighbor_id)
+        for r in sim.cosine_topk(emb, k=5).collect()
+    }
+    rows = sim.ivf_topk(emb, k=5, n_centroids=16, n_probe=6).collect()
+    assert rows
+    got = {(r.vec_id, r.neighbor_id) for r in rows}
+    assert all(a != b for a, b in got)
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.5, recall
+    by_vec = {}
+    for r in rows:
+        by_vec.setdefault(r.vec_id, []).append(r.rank)
+    for ranks in by_vec.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
