@@ -204,6 +204,19 @@ def q_compression_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chunk_compression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compress stage over the UNIQUE-CHUNK store — the reference's actual
+    routing (only unique chunks reach sub_Compress, encoder.cpp:299-352).
+    SQL-checkable columns only; byte counts live in compression_stats."""
+    from dedup_gpu_stream_parallelism_spark.operators import compress as cz
+    from dedup_gpu_stream_parallelism_spark.operators import store as store_op
+
+    _, store = store_op.chunk_encode_store(_docs(spark, sf_dir), CFG, "doc_id", "text")
+    return cz.compression_stats(
+        cz.compress_store(store.withColumnRenamed("chunk_sha", "sha256"))
+    ).select("compress_type", "n_payloads", "total_chars")
+
+
 def q_compression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compress stage stats over the unique-payload store (gzip) — the -v
     compression factors (encoder.cpp:150-167).  Rows-only check: zlib
@@ -415,6 +428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_roundtrip_check": q_chunk_roundtrip_check,
         "chunk_store_stats": q_chunk_store_stats,
         "compression_payload_stats": q_compression_payload_stats,
+        "chunk_compression_stats": q_chunk_compression_stats,
         # rows-only: compressed byte counts are not SQL-computable
         "compression_stats": q_compression_stats,
         "lzss_estimate": q_lzss_estimate,
@@ -550,6 +564,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_roundtrip_check": duck_sql.chunk_roundtrip_sql(),
         "chunk_store_stats": duck_sql.chunk_store_stats_sql(),
         "compression_payload_stats": duck_sql.COMPRESSION_PAYLOAD_STATS_SQL,
+        "chunk_compression_stats": duck_sql.chunk_compression_stats_sql(),
         # full signature-pipeline oracles (bit-identical integer hashing)
         "cdc_chunks": duck_sql.cdc_chunks_sql(),
         "cdc_chunk_stats": duck_sql.cdc_chunk_stats_sql(),

@@ -298,6 +298,19 @@ FROM tot, st
 """
 
 
+def chunk_compression_stats_sql() -> str:
+    """SQL-checkable compress-stage columns over the unique-CHUNK store."""
+    return f"""
+WITH
+{cdc_ctes()},
+  u AS (SELECT DISTINCT chunk_sha, chunk_len FROM chunk_rows)
+SELECT 'gzip' AS compress_type,
+       CAST(COUNT(*) AS BIGINT) AS n_payloads,
+       CAST(SUM(chunk_len) AS BIGINT) AS total_chars
+FROM u
+"""
+
+
 COMPRESSION_PAYLOAD_STATS_SQL = r"""
 WITH m AS (
   SELECT sha256(text) AS sha, MIN(doc_id) AS rep FROM documents GROUP BY 1

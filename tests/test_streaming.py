@@ -295,3 +295,31 @@ def test_exact_dedup_stream_resumes_from_checkpoint(spark, tmp_path):
     for r in cross.collect():
         assert r["is_duplicate"] == 1
         assert r["representative_id"] == r["doc_id"] - 1000
+
+
+def test_auto_compaction_mid_stream(spark, tmp_path):
+    """compact_every folds history mid-stream without losing band rows or
+    breaking later probes/replays."""
+    rows, _ = generate_corpus(90, seed=17)
+    df = spark.createDataFrame(
+        [(r["file_id"], r["content"]) for r in rows], "doc_id long, text string"
+    )
+    batches = [df.where(f"doc_id >= {i*30} AND doc_id < {(i+1)*30}") for i in range(3)]
+    nds = ds.NearDupStream(
+        str(tmp_path / "idx"), str(tmp_path / "out"), n_buckets=4, compact_every=2
+    )
+    for i, b in enumerate(batches):
+        nds.process_batch(b, i)
+    idx = spark.read.parquet(nds._index_path())
+    # every doc's band rows survive compaction (16 bands per signed doc,
+    # empty-signature docs excluded)
+    n_signed_docs = idx.select("doc_id").distinct().count()
+    assert idx.count() == 16 * n_signed_docs
+    # compacted generation exists; batch ids > compaction point kept
+    batch_ids = {r["batch_id"] for r in idx.select("batch_id").distinct().collect()}
+    assert -1 in batch_ids and 2 in batch_ids and 0 not in batch_ids
+    # a replay of the last batch after compaction stays idempotent
+    out_before = sorted(map(tuple, spark.read.parquet(str(tmp_path / "out")).collect()))
+    nds.process_batch(batches[2], 2)
+    out_after = sorted(map(tuple, spark.read.parquet(str(tmp_path / "out")).collect()))
+    assert out_before == out_after
