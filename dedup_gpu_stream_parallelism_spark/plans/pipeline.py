@@ -58,6 +58,38 @@ class PipelineResult:
         return json.dumps([asdict(m) for m in self.metrics])
 
 
+def stage_lineage(workdir: str) -> dict[str, list[dict]]:
+    """Per-partition lineage of a checkpointed run: for every materialized
+    stage under ``workdir``, the parquet part files with their row counts
+    and byte sizes — read from parquet FOOTERS only (no Spark job).
+
+    This is the audit trail the north rule asks for alongside the stage
+    metrics: which partition produced how many rows at every snapshot, so
+    a resumed run can be traced file-by-file.
+    """
+    import pyarrow.parquet as pq
+
+    out: dict[str, list[dict]] = {}
+    if not workdir or not os.path.isdir(workdir):
+        return out
+    for stage in sorted(os.listdir(workdir)):
+        sdir = os.path.join(workdir, stage)
+        if not os.path.isdir(sdir):
+            continue
+        parts = []
+        for fn in sorted(os.listdir(sdir)):
+            if not fn.endswith(".parquet"):
+                continue
+            full = os.path.join(sdir, fn)
+            md = pq.read_metadata(full)
+            parts.append(
+                {"file": fn, "rows": md.num_rows, "bytes": os.path.getsize(full)}
+            )
+        if parts:
+            out[stage] = parts
+    return out
+
+
 class _Stager:
     """Materialize-or-resume per stage (snapshot checkpoint stand-in)."""
 

@@ -86,3 +86,24 @@ def test_resume_from_checkpoints(spark, corpus_df, cfg, tmp_path, oracle_results
     assert all(m.stage.endswith("(resumed)") for m in r2.metrics)
     got = {r.doc_id: r.cluster_id for r in r2.clusters.collect()}
     assert got == oracle_results["clusters"]
+
+
+def test_stage_lineage_from_footers(spark, corpus_df, cfg, tmp_path):
+    from dedup_gpu_stream_parallelism_spark.plans.pipeline import (
+        run_pipeline,
+        stage_lineage,
+    )
+
+    wd = str(tmp_path / "wd")
+    res = run_pipeline(corpus_df, cfg, id_col="file_id", text_col="content",
+                       workdir=wd)
+    lin = stage_lineage(wd)
+    assert set(lin) == {
+        "01_sign_and_band", "02_exact_clusters", "03_candidate_pairs",
+        "04_confirmed_pairs", "05_clusters",
+    }
+    # per-partition rows must sum to the stage's metric row count
+    by_stage = {m.stage: m.rows_out for m in res.metrics}
+    for stage, parts in lin.items():
+        assert sum(p["rows"] for p in parts) == by_stage[stage]
+        assert all(p["bytes"] > 0 for p in parts)
