@@ -25,6 +25,10 @@ from pyspark.sql import functions as F
 TOPK_SCHEMA = "vec_id bigint, neighbor_id bigint, rank int, cosine double"
 
 
+def _empty_topk(spark) -> DataFrame:
+    return spark.createDataFrame([], TOPK_SCHEMA)
+
+
 def _normalized_matrix(pdf: pd.DataFrame, id_col: str, vec_col: str):
     ids = pdf[id_col].to_numpy(dtype=np.int64)
     mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
@@ -132,6 +136,8 @@ def cosine_topk(
         raise ValueError(f"unknown strategy {strategy!r}")
     # index must be id-sorted: self-exclusion uses searchsorted
     index_pdf = src.toPandas().sort_values("vec_id").reset_index(drop=True)
+    if len(index_pdf) == 0:
+        return _empty_topk(spark)
     if len(index_pdf) > BROADCAST_MAX_ROWS:
         raise ValueError(
             f"broadcast strategy refused: {len(index_pdf)} rows > "
@@ -391,6 +397,8 @@ def ivf_topk(
         .limit(n_centroids)
         .collect()
     )
+    if not seed_rows:
+        return _empty_topk(spark)
     cent = np.array(
         [np.asarray(r["vec"], dtype=np.float64) for r in seed_rows]
     )
