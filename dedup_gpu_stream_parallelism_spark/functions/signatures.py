@@ -34,10 +34,38 @@ SIGNATURE_FIELDS = (
     "sha256 string, n_chars bigint, n_shingles bigint, "
     "n_distinct_shingles bigint, minhash array<bigint>, simhash bigint"
 )
+CHUNK_KEYS_FIELD = "chunk_keys array<bigint>"
+
+
+def _chunk_keys_of(text, min_chunk_len: int) -> list[int]:
+    """Per-doc deduped int64 CDC chunk keys (first 8 bytes of the chunk
+    sha256) — the fused twin of operators.chunk.chunk_keys."""
+    import hashlib
+
+    from dedup_gpu_stream_parallelism_spark.operators.chunk import chunk_spans
+
+    seen: set[int] = set()
+    out: list[int] = []
+    for s, e in chunk_spans(text):
+        if e - s < min_chunk_len:
+            continue
+        piece = text[s:e]
+        if not isinstance(piece, (bytes, bytearray)):
+            piece = piece.encode("utf-8")
+        k = int.from_bytes(hashlib.sha256(piece).digest()[:8], "big", signed=True)
+        if k not in seen:
+            seen.add(k)
+            out.append(k)
+    return out
 
 
 def _sign_batch(
-    pdf: pd.DataFrame, text_col: str, cfg: DedupConfig, keep_text: bool = False
+    pdf: pd.DataFrame,
+    text_col: str,
+    cfg: DedupConfig,
+    keep_text: bool = False,
+    with_chunk_keys: bool = False,
+    min_chunk_len: int = 64,
 ) -> pd.DataFrame:
     # polymorphic over str and bytes content (BinaryType columns arrive as
     # Python bytes; the hash spec treats byte values as codes — see
@@ -71,6 +99,10 @@ def _sign_batch(
     out["n_distinct_shingles"] = n_distinct
     out["minhash"] = list(sig)
     out["simhash"] = simhash
+    if with_chunk_keys:
+        # fused CDC chunk keys: same text pass, no second Arrow transfer —
+        # the reference's integrated-stage fusion (encoder.cpp:760-979)
+        out["chunk_keys"] = [_chunk_keys_of(t, min_chunk_len) for t in texts]
     return out
 
 
@@ -79,9 +111,13 @@ def sign_documents(
     text_col: str = "content",
     cfg: DedupConfig | None = None,
     keep_text: bool = False,
+    with_chunk_keys: bool = False,
+    min_chunk_len: int = 64,
 ) -> DataFrame:
     """Append signature columns to ``df`` (dropping the text column unless
-    ``keep_text``).  All other columns pass through unchanged."""
+    ``keep_text``).  All other columns pass through unchanged.
+    ``with_chunk_keys`` additionally emits the deduped CDC chunk keys from
+    the SAME text pass (``chunk_keys array<bigint>``)."""
     cfg = cfg or DedupConfig()
     passthrough = [
         f for f in df.schema.fields if keep_text or f.name != text_col
@@ -90,11 +126,15 @@ def sign_documents(
         ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in passthrough)
         + ", "
         + SIGNATURE_FIELDS
+        + (", " + CHUNK_KEYS_FIELD if with_chunk_keys else "")
     )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield _sign_batch(pdf, text_col, cfg, keep_text=keep_text)
+            yield _sign_batch(
+                pdf, text_col, cfg, keep_text=keep_text,
+                with_chunk_keys=with_chunk_keys, min_chunk_len=min_chunk_len,
+            )
 
     return df.mapInPandas(gen, schema=schema)
 

@@ -51,6 +51,31 @@ def band_keys(signed: DataFrame, cfg: DedupConfig | None = None) -> DataFrame:
     return signed.select("doc_id", F.posexplode(keys).alias("band", "band_key"))
 
 
+def all_candidate_keys(signed: DataFrame, cfg: DedupConfig | None = None) -> DataFrame:
+    """(doc_id, band, band_key) combining LSH bands (positions 0..b-1) AND
+    the fused CDC chunk keys (positions >= b) from a frame signed with
+    ``with_chunk_keys=True`` — ONE projection over ONE signature-UDF pass,
+    so the downstream ``candidate_pairs`` groupBy is the single exchange
+    for BOTH candidate sources.  A cross-space key collision (LSH key ==
+    chunk key, ~2^-64) merely merges two buckets; the confirm stage
+    rejects any false pair it adds.
+    """
+    cfg = cfg or DedupConfig()
+    r = cfg.lsh_rows
+    signed = signed.where(F.element_at("minhash", 1) != F.lit(cfg.empty_min))
+    lsh_keys = F.transform(
+        F.sequence(F.lit(0), F.lit(cfg.lsh_bands - 1)),
+        lambda band: F.xxhash64(
+            band, F.slice(F.col("minhash"), band * r + F.lit(1), r)
+        ),
+    )
+    combined = F.concat(
+        lsh_keys,
+        F.coalesce(F.col("chunk_keys"), F.array().cast("array<bigint>")),
+    )
+    return signed.select("doc_id", F.posexplode(combined).alias("band", "band_key"))
+
+
 def candidate_pairs(
     banded: DataFrame,
     cfg: DedupConfig | None = None,

@@ -30,7 +30,6 @@ from pyspark.sql import functions as F
 
 from dedup_gpu_stream_parallelism_spark.config import DedupConfig
 from dedup_gpu_stream_parallelism_spark.functions.signatures import sign_documents
-from dedup_gpu_stream_parallelism_spark.operators import chunk as chunk_op
 from dedup_gpu_stream_parallelism_spark.operators import cluster as cluster_op
 from dedup_gpu_stream_parallelism_spark.operators import exact as exact_op
 from dedup_gpu_stream_parallelism_spark.operators import lsh as lsh_op
@@ -156,32 +155,28 @@ def run_pipeline(
     if docs.rdd.getNumPartitions() < parallelism:
         docs = docs.repartition(parallelism)
 
-    # signatures + banding fused into ONE materialized stage: the banded
-    # frame (doc_id, band, band_key — 16 B/row) is ~5x smaller than the
-    # full signature frame (128-perm minhash arrays), and banding is the
-    # signature stage's only in-pipeline consumer — so materializing the
-    # 350 MB signed frame was a pure disk-I/O constant that throttled
-    # scaling.  ``result.signed`` stays available lazily (recomputed on
-    # access) for invariant checks and ad-hoc use.
-    signed = sign_documents(docs, text_col="text", cfg=cfg).withColumn(
-        "partition_id", F.spark_partition_id()
+    # signatures + banding + CDC chunk keys fused into ONE materialized
+    # stage and ONE text pass: the signature UDF also emits the deduped
+    # chunk keys (with_chunk_keys=True — the reference's integrated-stage
+    # fusion, encoder.cpp:760-979), and ``all_candidate_keys`` projects
+    # LSH bands and chunk keys into one (doc_id, band, band_key) frame
+    # (16 B/row, ~5x smaller than the 128-perm signature frame).  The
+    # downstream groupBy(band_key) is then the SINGLE exchange for both
+    # candidate sources — previously the CDC path re-read and re-chunked
+    # every document in a second UDF pass with its own exchange+distinct.
+    # ``result.signed`` stays available lazily for invariant checks.
+    signed = sign_documents(
+        docs, text_col="text", cfg=cfg, with_chunk_keys=True
+    ).withColumn("partition_id", F.spark_partition_id())
+    banded = stager.run(
+        "01_sign_and_band", lambda: lsh_op.all_candidate_keys(signed, cfg)
     )
-    banded = stager.run("01_sign_and_band", lambda: lsh_op.band_keys(signed, cfg))
     exact = stager.run(
         "02_exact_clusters", lambda: exact_op.exact_dup_clusters(docs, "doc_id", "text")
     )
     candidates = stager.run(
         "03_candidate_pairs",
-        lambda: lsh_op.candidate_pairs(banded, cfg, strategy=pair_strategy)
-        .unionByName(
-            # CDC chunk-hash candidates surface shared-substring duplicates
-            # that set-similarity misses (Rabin stage analog); fused
-            # chunk_keys path — one UDF pass, one exchange
-            chunk_op.chunk_candidate_pairs_from_docs(
-                docs, cfg, strategy=pair_strategy
-            )
-        )
-        .distinct(),
+        lambda: lsh_op.candidate_pairs(banded, cfg, strategy=pair_strategy),
     )
     confirmed = stager.run(
         "04_confirmed_pairs",
