@@ -141,20 +141,17 @@ def q_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_confirmed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Candidates (LSH ∪ CDC) verified by Jaccard / suffix-array substring —
-    exact-integer (inter, uni) so the oracle compare is float-free."""
+    """Candidates (LSH ∪ CDC, fused single-pass generator) verified by
+    Jaccard / suffix-array substring — exact-integer (inter, uni) so the
+    oracle compare is float-free."""
+    from dedup_gpu_stream_parallelism_spark.functions.signatures import sign_documents
     from dedup_gpu_stream_parallelism_spark.operators import lsh as lsh_op
     from dedup_gpu_stream_parallelism_spark.operators import verify as verify_op
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    banded = lsh_op.band_keys(_signed(spark, sf_dir), CFG)
-    cands = (
-        lsh_op.candidate_pairs(banded, CFG, strategy="all_pairs")
-        .unionByName(
-            chunk_op.chunk_candidate_pairs_from_docs(docs, CFG, strategy="all_pairs")
-        )
-        .distinct()
-    )
+    signed = sign_documents(docs, text_col="text", cfg=CFG, with_chunk_keys=True)
+    keys = lsh_op.all_candidate_keys(signed, CFG)
+    cands = lsh_op.candidate_pairs(keys, CFG, strategy="all_pairs")
     return verify_op.confirm_pairs(cands, docs, CFG).select(
         "a_id", "b_id", "inter", "uni", "confirmed"
     ).orderBy("a_id", "b_id")
