@@ -26,6 +26,7 @@ CASES = {
     "chunk_roundtrip_check": "chunk store groupBy has partial_first map-side; decode = one sha join + one doc_id aggregation (sort-order concat inside)",
     "tpch_pricing_summary": "l_quantity predicate in PushedFilters; ReadSchema pruned to 5 columns; partial HashAggregate before the exchange",
     "tpch_region_revenue": "region/nation joined via BroadcastHashJoin (no shuffle for dims); big joins shuffle on keys under AQE",
+    "confirmed_pairs": "FUSED candidate generation: ONE MapInPandas text pass emits signatures+chunk keys, ONE groupBy exchange buckets both key spaces, then the verify UDF",
 }
 
 
