@@ -84,6 +84,29 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.clusters.orderBy("doc_id")
 
 
+def q_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data end product: filter ∧ dedup — each doc with its
+    cluster id, quality flag, and keep = (cluster representative AND
+    quality_ok).  Composition of the flagship pipeline with the quality
+    pre-filter."""
+    docs = _docs(spark, sf_dir)
+    res = run_pipeline(docs, CFG, id_col="doc_id", text_col="text")
+    qual = text_op.quality_score(docs).select("doc_id", "quality_ok")
+    return (
+        res.clusters.join(qual, "doc_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            "quality_ok",
+            (
+                (F.col("doc_id") == F.col("cluster_id"))
+                & (F.col("quality_ok") == 1)
+            ).cast("int").alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _signed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dedup_gpu_stream_parallelism_spark.functions.signatures import sign_documents
 
@@ -414,6 +437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_stats": q_dedup_stats,
         "cdc_chunk_stats": q_cdc_chunk_stats,
         "near_dup_clusters": q_near_dup_clusters,
+        "dedup_keep_list": q_dedup_keep_list,
         "cdc_chunks": q_cdc_chunks,
         "minhash_signatures": q_minhash_signatures,
         "simhash_values": q_simhash_values,
@@ -572,6 +596,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dup": duck_sql.simhash_near_dup_sql(CFG, max_hamming=7),
         "confirmed_pairs": duck_sql.confirmed_pairs_sql(CFG),
         "near_dup_clusters": duck_sql.cluster_sql(CFG),
+        "dedup_keep_list": duck_sql.keep_list_sql(CFG),
         "media_payload_dedup": """
             -- ASCII corpus: sha256(text) == sha256 of the utf-8 payload
             SELECT doc_id AS media_id,

@@ -364,14 +364,11 @@ def confirm_ctes(cfg: DedupConfig) -> str:
   )"""
 
 
-def cluster_sql(cfg: DedupConfig | None = None) -> str:
-    """Full near_dup_clusters oracle: (doc_id, cluster_id) for every doc."""
-    cfg = cfg or DedupConfig()
-    return f"""
-WITH RECURSIVE
-{signature_ctes(cfg)},
-{cdc_ctes()},
-{confirm_ctes(cfg)},
+def _cluster_tail_ctes() -> str:
+    """Shared CC tail (exact edges ∪ confirmed edges → recursive min-label
+    reachability) — used by cluster_sql and keep_list_sql so the two can
+    never drift."""
+    return """
   exact_edges AS (
     SELECT MIN(doc_id) OVER (PARTITION BY sha256(text)) AS a_id, doc_id AS b_id
     FROM documents
@@ -390,8 +387,61 @@ WITH RECURSIVE
     UNION
     SELECT sym.d, reach.lab FROM reach JOIN sym ON sym.s = reach.v
     WHERE reach.lab < sym.d
+  ),
+  clusters AS (
+    SELECT v AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY v
+  )"""
+
+
+def cluster_sql(cfg: DedupConfig | None = None) -> str:
+    """Full near_dup_clusters oracle: (doc_id, cluster_id) for every doc."""
+    cfg = cfg or DedupConfig()
+    return f"""
+WITH RECURSIVE
+{signature_ctes(cfg)},
+{cdc_ctes()},
+{confirm_ctes(cfg)},
+{_cluster_tail_ctes()}
+SELECT doc_id, cluster_id FROM clusters ORDER BY doc_id
+"""
+
+
+def keep_list_sql(cfg: DedupConfig | None = None) -> str:
+    """Training-data emission oracle: for every doc, its cluster id, the
+    quality flag, and keep = (cluster representative AND quality_ok) —
+    the filter ∧ dedup end product."""
+    cfg = cfg or DedupConfig()
+    return f"""
+WITH RECURSIVE
+{signature_ctes(cfg)},
+{cdc_ctes()},
+{confirm_ctes(cfg)},
+{_cluster_tail_ctes()},
+  kq AS (
+    SELECT doc_id,
+           length(text) AS n,
+           length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+           length(regexp_replace(text, '[^ ]', '', 'g')) AS spaces,
+           len(regexp_extract_all(' ' || text || ' ',
+                                  ' (the|a|of|and|in|to|is) ')) AS stop_hits
+    FROM documents
+  ),
+  kc AS (
+    SELECT doc_id,
+           CAST(ROUND(0.25*least(n/500.0, 1.0)
+                      + 0.25*(CASE WHEN n > 0 THEN alpha / CAST(n AS DOUBLE)
+                              ELSE 0.0 END)
+                      + 0.25*least(stop_hits/8.0, 1.0)
+                      + 0.25*(CASE WHEN n > 0 AND (n - spaces) /
+                                   CAST(spaces + 1 AS DOUBLE)
+                                   BETWEEN 2.0 AND 12.0
+                              THEN 1.0 ELSE 0.0 END), 6) >= 0.5
+                AS INT) AS quality_ok
+    FROM kq
   )
-SELECT v AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY v ORDER BY doc_id
+SELECT c.doc_id, c.cluster_id, kc.quality_ok,
+       CAST(c.doc_id = c.cluster_id AND kc.quality_ok = 1 AS INT) AS keep
+FROM clusters c JOIN kc USING (doc_id) ORDER BY c.doc_id
 """
 
 
