@@ -163,6 +163,37 @@ def q_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("bucket_n")
 
 
+def q_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signature-only Jaccard estimate per LSH candidate pair: the count of
+    matching MinHash permutations (estimate = n_matching/128) — the cheap
+    pre-verify similarity every 100 TB pipeline screens with before exact
+    confirmation.  Pure JVM zip_with/filter; integer-exact for the oracle."""
+    from dedup_gpu_stream_parallelism_spark.operators import lsh as lsh_op
+
+    signed = _signed(spark, sf_dir)
+    banded = lsh_op.band_keys(signed, CFG)
+    cands = lsh_op.candidate_pairs(banded, CFG, strategy="all_pairs")
+    a = signed.select(F.col("doc_id").alias("a_id"), F.col("minhash").alias("mh_a"))
+    b = signed.select(F.col("doc_id").alias("b_id"), F.col("minhash").alias("mh_b"))
+    return (
+        cands.join(a, "a_id")
+        .join(b, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.size(
+                F.filter(
+                    F.zip_with("mh_a", "mh_b", lambda x, y: x == y),
+                    lambda m: m,
+                )
+            )
+            .cast("bigint")
+            .alias("n_matching"),
+        )
+        .orderBy("a_id", "b_id")
+    )
+
+
 def q_confirmed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidates (LSH ∪ CDC, fused single-pass generator) verified by
     Jaccard / suffix-array substring — exact-integer (inter, uni) so the
@@ -443,6 +474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_values": q_simhash_values,
         "lsh_candidates": q_lsh_candidates,
         "bucket_stats": q_bucket_stats,
+        "minhash_jaccard_estimate": q_minhash_jaccard_estimate,
         "simhash_near_dup": q_simhash_near_dup,
         "confirmed_pairs": q_confirmed_pairs,
         "roundtrip_check": q_roundtrip_check,
@@ -593,6 +625,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_values": duck_sql.simhash_sql(CFG),
         "lsh_candidates": duck_sql.lsh_candidates_sql(CFG),
         "bucket_stats": duck_sql.bucket_stats_sql(CFG),
+        "minhash_jaccard_estimate": duck_sql.minhash_jaccard_estimate_sql(CFG),
         "simhash_near_dup": duck_sql.simhash_near_dup_sql(CFG, max_hamming=7),
         "confirmed_pairs": duck_sql.confirmed_pairs_sql(CFG),
         "near_dup_clusters": duck_sql.cluster_sql(CFG),

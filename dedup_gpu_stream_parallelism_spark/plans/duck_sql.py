@@ -215,6 +215,23 @@ FROM sizes GROUP BY bucket_n ORDER BY bucket_n
 """
 
 
+def minhash_jaccard_estimate_sql(cfg: DedupConfig | None = None) -> str:
+    """Matching-permutation count per LSH candidate pair."""
+    cfg = cfg or DedupConfig()
+    return f"""
+WITH
+{signature_ctes(cfg)}
+SELECT p.a_id, p.b_id,
+       CAST(SUM(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_matching
+FROM lsh_pairs p
+JOIN minhash ma ON ma.doc_id = p.a_id
+JOIN minhash mb ON mb.doc_id = p.b_id AND mb.t = ma.t
+GROUP BY p.a_id, p.b_id
+ORDER BY p.a_id, p.b_id
+"""
+
+
 def cdc_ctes() -> str:
     """CDC chunk CTEs (window={CDC_WINDOW}, avg chunk={CDC_MODULUS})."""
     w = CDC_WINDOW
