@@ -238,7 +238,7 @@ def q_chunk_store_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dedup_gpu_stream_parallelism_spark.operators import store as store_op
 
     manifest, store = store_op.chunk_encode_store(
-        _docs(spark, sf_dir), CFG, "doc_id", "text"
+        _docs(spark, sf_dir), CFG, "doc_id", "text", persist=True
     )
     return store_op.chunk_store_stats(manifest, store)
 

@@ -121,12 +121,15 @@ def extract_features(
     # type-homogeneous tasks avoid codec-working-set stragglers (video >>
     # image — the reference's size-based kernel routing,
     # src/encoder_spar.cpp:272-280), but partitioning by type ALONE caps
-    # parallelism at #types; salt with the id so each task is one
-    # (type, shard) — homogeneous AND cluster-wide
+    # parallelism at #types.  repartitionByRange on (type, id) keeps each
+    # partition inside one type (at most #types-1 boundary partitions mix)
+    # while spreading every type across the cluster; hash-partitioning on
+    # a (type, salt) combo cannot guarantee that once combos outnumber
+    # partitions.
     spark = media.sparkSession
     shards = max(1, spark.sparkContext.defaultParallelism)
-    return media.repartition(
-        shards, "media_type", F.pmod(F.col("media_id"), F.lit(shards))
+    return media.repartitionByRange(
+        shards, "media_type", "media_id"
     ).mapInPandas(gen, schema=FEATURES_SCHEMA)
 
 

@@ -545,6 +545,8 @@ def cosine_near_dup_pairs(
 
     spark = emb.sparkSession
     index_pdf = src.toPandas().sort_values("vec_id").reset_index(drop=True)
+    if len(index_pdf) == 0:
+        return spark.createDataFrame([], PAIRS_SCHEMA)
     if len(index_pdf) > BROADCAST_MAX_ROWS:
         raise ValueError(
             f"broadcast strategy refused: {len(index_pdf)} rows > "
@@ -582,13 +584,21 @@ def ann_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
-    """Approximate threshold pairs via multi-table hyperplane LSH — the
-    sub-quadratic 100 TB path (exact verify *within* buckets, so precision
-    is 1; recall ≈ 1-(1-p^planes)^tables with p = 1-θ/π per pair).
+    """Approximate threshold pairs via multi-table hyperplane LSH (exact
+    verify *within* buckets, so precision is 1; recall ≈
+    1-(1-p^planes)^tables with p = 1-θ/π per pair).
 
     One bucket-key groupBy (rows replicated n_tables-fold) + one pair-dedup
-    groupBy; no GEMM ever exceeds a bucket.
+    groupBy.  SCALE CONTRACT: expected bucket size is n / 2^n_planes per
+    table, so **n_planes must grow ~log2(n)** (e.g. 2^20 vectors want
+    n_planes ≈ 14-16) for the in-bucket GEMM to stay bounded — the default
+    n_planes=4 is a SMALL-data setting.  ``max_bucket`` adds a hard cap as
+    a backstop: oversized buckets are truncated to their ``max_bucket``
+    smallest vec_ids (deterministic; trades recall inside viral buckets
+    for a bounded worst-case task, like the LSH star cap in the text
+    path — other tables still see the dropped members).
     """
     spark = emb.sparkSession
     src = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
@@ -619,6 +629,8 @@ def ann_near_dup_pairs(
     )
 
     def per_bucket(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        if max_bucket is not None and len(pdf) > max_bucket:
+            pdf = pdf.sort_values("vec_id").head(max_bucket)
         ids, mat = _normalized_matrix(pdf, "vec_id", "vec")
         n = len(ids)
         if n < 2:

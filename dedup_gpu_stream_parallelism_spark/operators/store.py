@@ -50,6 +50,7 @@ def chunk_encode_store(
     text_col: str = "text",
     window: int = CDC_WINDOW,
     modulus: int = CDC_MODULUS,
+    persist: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """(chunk_manifest, chunk_store).
 
@@ -58,14 +59,17 @@ def chunk_encode_store(
     row per distinct chunk sha (payloads for equal sha are byte-identical,
     so ``first`` is value-deterministic).
 
-    Both outputs branch off one chunking UDF pass; callers that consume
-    both should ``persist()`` the chunk frame themselves if recompute
-    matters (the pipeline stager does).
+    Both outputs branch off one chunking UDF pass; ``persist=True`` caches
+    the chunk frame (MEMORY_AND_DISK) so consuming BOTH outputs runs the
+    chunking UDF once, not twice — set it whenever both sides are acted on
+    (the encode job does; Spark evicts the cache LRU).
     """
     chunks = chunk_documents(
         docs, cfg, id_col=id_col, text_col=text_col,
         window=window, modulus=modulus, with_payload=True,
     )
+    if persist:
+        chunks = chunks.persist()
     manifest = chunks.select("doc_id", "chunk_idx", "chunk_sha", "chunk_len")
     store = chunks.groupBy("chunk_sha").agg(
         F.first("chunk_len").alias("chunk_len"),
@@ -131,7 +135,9 @@ def chunk_roundtrip_check(
     equal the original's (the per-row invariant).  Empty docs (zero chunks)
     round-trip to '' via the left join.
     """
-    manifest, store = chunk_encode_store(docs, cfg, id_col=id_col, text_col=text_col)
+    manifest, store = chunk_encode_store(
+        docs, cfg, id_col=id_col, text_col=text_col, persist=True
+    )
     decoded = chunk_decode(manifest, store, strict=True)
     orig = docs.select(
         F.col(id_col).alias("doc_id"),

@@ -102,35 +102,55 @@ SELECT vec_id,
 FROM embeddings ORDER BY vec_id
 """
 
-QUALITY_SCORE_SQL = r"""
-WITH q AS (
-  SELECT doc_id,
-         length(text) AS n,
-         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
-         length(regexp_replace(text, '[^ ]', '', 'g')) AS spaces,
-         len(regexp_extract_all(' ' || text || ' ', ' (the|a|of|and|in|to|is) '))
-           AS stop_hits
-  FROM documents
-), c AS (
-  SELECT doc_id,
-         least(n / 500.0, 1.0) AS len_score,
-         CASE WHEN n > 0 THEN alpha / CAST(n AS DOUBLE) ELSE 0.0 END AS alpha_score,
-         least(stop_hits / 8.0, 1.0) AS stop_score,
-         CASE WHEN n > 0
-                AND (n - spaces) / CAST(spaces + 1 AS DOUBLE) BETWEEN 2.0 AND 12.0
-              THEN 1.0 ELSE 0.0 END AS tok_score
-  FROM q
-)
+def quality_ctes(prefix: str = "q") -> str:
+    """Shared quality-score CTEs (single source for quality_score and
+    keep_list oracles — a threshold/pattern change cannot drift between
+    them).  Exposes ``{prefix}flag(doc_id, len_score, alpha_score,
+    stop_score, tok_score, quality, quality_ok)`` with UNROUNDED component
+    scores (callers round for display)."""
+    return f"""
+  {prefix}raw AS (
+    SELECT doc_id,
+           length(text) AS n,
+           length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+           length(regexp_replace(text, '[^ ]', '', 'g')) AS spaces,
+           len(regexp_extract_all(' ' || text || ' ',
+                                  ' (the|a|of|and|in|to|is) ')) AS stop_hits
+    FROM documents
+  ),
+  {prefix}scores AS (
+    SELECT doc_id,
+           least(n / 500.0, 1.0) AS len_score,
+           CASE WHEN n > 0 THEN alpha / CAST(n AS DOUBLE) ELSE 0.0 END
+             AS alpha_score,
+           least(stop_hits / 8.0, 1.0) AS stop_score,
+           CASE WHEN n > 0
+                  AND (n - spaces) / CAST(spaces + 1 AS DOUBLE)
+                      BETWEEN 2.0 AND 12.0
+                THEN 1.0 ELSE 0.0 END AS tok_score
+    FROM {prefix}raw
+  ),
+  {prefix}flag AS (
+    SELECT doc_id, len_score, alpha_score, stop_score, tok_score,
+           ROUND(0.25*len_score + 0.25*alpha_score + 0.25*stop_score
+                 + 0.25*tok_score, 6) AS quality,
+           CAST(ROUND(0.25*len_score + 0.25*alpha_score + 0.25*stop_score
+                      + 0.25*tok_score, 6) >= 0.5 AS INT) AS quality_ok
+    FROM {prefix}scores
+  )"""
+
+
+QUALITY_SCORE_SQL = f"""
+WITH
+{quality_ctes()}
 SELECT doc_id,
        ROUND(len_score, 6) AS len_score,
        ROUND(alpha_score, 6) AS alpha_score,
        ROUND(stop_score, 6) AS stop_score,
        ROUND(tok_score, 6) AS tok_score,
-       ROUND(0.25*len_score + 0.25*alpha_score + 0.25*stop_score + 0.25*tok_score, 6)
-         AS quality,
-       CAST(ROUND(0.25*len_score + 0.25*alpha_score + 0.25*stop_score
-                  + 0.25*tok_score, 6) >= 0.5 AS INT) AS quality_ok
-FROM c ORDER BY doc_id
+       quality,
+       quality_ok
+FROM qflag ORDER BY doc_id
 """
 
 
@@ -434,31 +454,10 @@ WITH RECURSIVE
 {cdc_ctes()},
 {confirm_ctes(cfg)},
 {_cluster_tail_ctes()},
-  kq AS (
-    SELECT doc_id,
-           length(text) AS n,
-           length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
-           length(regexp_replace(text, '[^ ]', '', 'g')) AS spaces,
-           len(regexp_extract_all(' ' || text || ' ',
-                                  ' (the|a|of|and|in|to|is) ')) AS stop_hits
-    FROM documents
-  ),
-  kc AS (
-    SELECT doc_id,
-           CAST(ROUND(0.25*least(n/500.0, 1.0)
-                      + 0.25*(CASE WHEN n > 0 THEN alpha / CAST(n AS DOUBLE)
-                              ELSE 0.0 END)
-                      + 0.25*least(stop_hits/8.0, 1.0)
-                      + 0.25*(CASE WHEN n > 0 AND (n - spaces) /
-                                   CAST(spaces + 1 AS DOUBLE)
-                                   BETWEEN 2.0 AND 12.0
-                              THEN 1.0 ELSE 0.0 END), 6) >= 0.5
-                AS INT) AS quality_ok
-    FROM kq
-  )
-SELECT c.doc_id, c.cluster_id, kc.quality_ok,
-       CAST(c.doc_id = c.cluster_id AND kc.quality_ok = 1 AS INT) AS keep
-FROM clusters c JOIN kc USING (doc_id) ORDER BY c.doc_id
+{quality_ctes("k")}
+SELECT c.doc_id, c.cluster_id, kflag.quality_ok,
+       CAST(c.doc_id = c.cluster_id AND kflag.quality_ok = 1 AS INT) AS keep
+FROM clusters c JOIN kflag USING (doc_id) ORDER BY c.doc_id
 """
 
 

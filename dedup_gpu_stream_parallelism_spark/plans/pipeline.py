@@ -89,13 +89,43 @@ def stage_lineage(workdir: str) -> dict[str, list[dict]]:
     return out
 
 
+# Bump whenever a stage's CONTENTS change without its name/schema changing
+# (e.g. the round-2 fusion added CDC chunk-key rows to 01_sign_and_band):
+# a workdir written by a different plan version is never resumed from.
+PIPELINE_PLAN_VERSION = "2"
+
+
 class _Stager:
-    """Materialize-or-resume per stage (snapshot checkpoint stand-in)."""
+    """Materialize-or-resume per stage (snapshot checkpoint stand-in).
+
+    A workdir whose ``_PLAN_VERSION`` marker doesn't match
+    ``PIPELINE_PLAN_VERSION`` is purged before use — resuming a stage whose
+    semantics changed under the same name/schema would silently produce
+    stale results."""
 
     def __init__(self, spark: SparkSession, workdir: str | None):
         self.spark = spark
         self.workdir = workdir
         self.metrics: list[StageMetric] = []
+        if workdir:
+            import shutil
+
+            os.makedirs(workdir, exist_ok=True)
+            marker = os.path.join(workdir, "_PLAN_VERSION")
+            stale = (
+                not os.path.exists(marker)
+                or open(marker).read().strip() != PIPELINE_PLAN_VERSION
+            )
+            if stale:
+                # purge old-version snapshots BEFORE writing the new marker:
+                # a crash mid-purge leaves no marker, so the next run purges
+                # again rather than resuming from a mixed-version workdir
+                for e in os.listdir(workdir):
+                    p = os.path.join(workdir, e)
+                    if os.path.isdir(p):
+                        shutil.rmtree(p)
+                with open(marker, "w") as f:
+                    f.write(PIPELINE_PLAN_VERSION)
 
     def run(self, name: str, build, cache: bool = True) -> DataFrame:
         t0 = time.monotonic()

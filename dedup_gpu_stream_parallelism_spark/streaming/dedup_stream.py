@@ -40,10 +40,18 @@ from dedup_gpu_stream_parallelism_spark.functions.signatures import sign_documen
 from dedup_gpu_stream_parallelism_spark.operators import lsh as lsh_op
 
 def _has_partitions(path: str) -> bool:
-    """True iff ``path`` holds at least one batch partition directory."""
-    return os.path.isdir(path) and any(
-        e.startswith("batch_id=") for e in os.listdir(path)
-    )
+    """True iff ``path`` holds at least one actual parquet data file.
+
+    Checking for batch_id= directories alone is NOT enough: a partitioned
+    write of an EMPTY DataFrame creates the batch directory with only
+    _SUCCESS inside, and ``spark.read.parquet`` on a dir with zero footers
+    throws unable-to-infer-schema."""
+    if not os.path.isdir(path):
+        return False
+    for root, _dirs, files in os.walk(path):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
 
 
 DEDUP_STATE_SCHEMA = "first_doc_id bigint, n_seen bigint"
@@ -194,6 +202,11 @@ class NearDupStream:
             .localCheckpoint()
         )
         path = self._index_path()
+        # recover from a compact() that crashed between its two renames
+        # (index then lives only under the trash dir)
+        trash = path + ".trash"
+        if os.path.exists(trash) and not os.path.exists(path):
+            os.rename(trash, path)
         if _has_partitions(path):
             # partition-prune the historical index to the batch's buckets:
             # probe cost tracks the batch size, not the history size
@@ -270,19 +283,25 @@ class NearDupStream:
         ``exclude_from`` keeps partitions with batch_id >= that value
         un-folded — the in-stream auto-compaction passes the current batch
         id so a replay of a not-yet-committed batch still sees only
-        strictly-earlier rows.  Two renames with a trash dir: a crash
-        between them leaves the old index intact under ``bands.trash`` —
-        re-run compact() (or restore the trash dir) to recover; run it from
-        the stream's own foreachBatch thread (as ``compact_every`` does) so
-        it never races a probe."""
+        strictly-earlier rows.  Two renames with a trash dir; a crash
+        between them leaves the index only under ``bands.trash`` — the
+        next compact() (or process_batch probe via this method) restores
+        it automatically before doing anything destructive.  Run it from
+        the stream's own foreachBatch thread (as ``compact_every`` does)
+        so it never races a probe."""
         import shutil
 
         path = self._index_path()
+        tmp = path + ".compacting"
+        trash = path + ".trash"
+        # crash recovery FIRST: if a previous compact died between the two
+        # renames, the only copy of the index lives in the trash dir —
+        # restore it before any cleanup could delete it
+        if os.path.exists(trash) and not os.path.exists(path):
+            os.rename(trash, path)
         if not _has_partitions(path):
             return
         spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
-        tmp = path + ".compacting"
-        trash = path + ".trash"
         for d in (tmp, trash):
             if os.path.exists(d):
                 shutil.rmtree(d)

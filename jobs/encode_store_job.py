@@ -54,7 +54,7 @@ def main() -> None:
     cfg = DedupConfig()
     docs = spark.read.parquet(args.input)
     manifest, store = store_op.chunk_encode_store(
-        docs, cfg, id_col=args.id_col, text_col=args.text_col
+        docs, cfg, id_col=args.id_col, text_col=args.text_col, persist=True
     )
 
     if args.append_to:
@@ -85,10 +85,19 @@ def main() -> None:
         os.path.join(args.output, "doc_manifest")
     )
 
-    stats = store_op.chunk_store_stats(
-        spark.read.parquet(os.path.join(args.output, "chunk_manifest")),
-        spark.read.parquet(os.path.join(args.output, "chunk_store")),
-    ).first().asDict()
+    # stats describe the CUMULATIVE archive: in append mode the manifest
+    # and store are the union of the previous run's and this run's (the
+    # novel-only store alone would report a meaningless saving factor)
+    stats_manifest = spark.read.parquet(os.path.join(args.output, "chunk_manifest"))
+    stats_store = spark.read.parquet(os.path.join(args.output, "chunk_store"))
+    if args.append_to:
+        stats_manifest = stats_manifest.unionByName(
+            spark.read.parquet(os.path.join(args.append_to, "chunk_manifest"))
+        )
+        stats_store = stats_store.unionByName(
+            spark.read.parquet(os.path.join(args.append_to, "chunk_store"))
+        )
+    stats = store_op.chunk_store_stats(stats_manifest, stats_store).first().asDict()
     with open(os.path.join(args.output, "stats.json"), "w") as f:
         json.dump(stats, f)
     print("STATS " + json.dumps(stats))

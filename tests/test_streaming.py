@@ -323,3 +323,41 @@ def test_auto_compaction_mid_stream(spark, tmp_path):
     nds.process_batch(batches[2], 2)
     out_after = sorted(map(tuple, spark.read.parquet(str(tmp_path / "out")).collect()))
     assert out_before == out_after
+
+
+def test_empty_first_batch_does_not_poison_index(spark, tmp_path):
+    """A batch whose docs are all too short to band (empty banded frame)
+    must not leave a file-less partition that breaks the next probe."""
+    empty_docs = spark.createDataFrame(
+        [(1, "ab"), (2, "xy")], "doc_id long, text string"  # < shingle_k
+    )
+    b1, _ = _mini_batches(spark, n=40, seed=5, split=40)
+    nds = ds.NearDupStream(str(tmp_path / "idx"), str(tmp_path / "out"))
+    nds.process_batch(empty_docs, 0)   # bands empty
+    nds.process_batch(b1, 1)           # must not crash reading the index
+    nds.process_batch(b1.limit(5), 2)  # probe against real history works
+    assert spark.read.parquet(nds._index_path()).count() > 0
+
+
+def test_compact_crash_between_renames_recovers(spark, tmp_path):
+    """Simulated crash after rename(path->trash): the next process_batch
+    (or compact) must restore the index from the trash dir, not lose it."""
+    import os as _os
+    import shutil as _shutil
+
+    b0, b1 = _mini_batches(spark)
+    nds = ds.NearDupStream(str(tmp_path / "idx"), str(tmp_path / "out"),
+                           n_buckets=4)
+    nds.process_batch(b0, 0)
+    before = spark.read.parquet(nds._index_path()).count()
+    # crash point: index moved to trash, new generation never landed
+    path = nds._index_path()
+    _os.rename(path, path + ".trash")
+    _shutil.rmtree(path + ".compacting", ignore_errors=True)
+
+    nds.process_batch(b1, 1)  # recovery happens here
+    idx = spark.read.parquet(nds._index_path())
+    assert idx.where("batch_id = 0").count() == before
+    # and a later compact() also works cleanly on the recovered index
+    nds.compact()
+    assert spark.read.parquet(nds._index_path()).count() >= before
