@@ -43,6 +43,21 @@ from dedup_gpu_stream_parallelism_spark.operators.chunk import (
 )
 
 
+# The one currently-persisted chunk frame (see chunk_encode_store): a new
+# persist=True call releases the previous frame first, so a long session
+# running many encode queries holds at most ONE full-corpus chunk frame in
+# executor cache instead of accumulating one per query.
+_PERSISTED_CHUNKS: list[DataFrame] = []
+
+
+def release_chunk_cache() -> None:
+    """Unpersist the chunk frame cached by the last
+    ``chunk_encode_store(persist=True)`` call (no-op if none).  Jobs call
+    this once both outputs are materialized."""
+    while _PERSISTED_CHUNKS:
+        _PERSISTED_CHUNKS.pop().unpersist()
+
+
 def chunk_encode_store(
     docs: DataFrame,
     cfg: DedupConfig | None = None,
@@ -62,14 +77,18 @@ def chunk_encode_store(
     Both outputs branch off one chunking UDF pass; ``persist=True`` caches
     the chunk frame (MEMORY_AND_DISK) so consuming BOTH outputs runs the
     chunking UDF once, not twice — set it whenever both sides are acted on
-    (the encode job does; Spark evicts the cache LRU).
+    (the encode job does).  The cache is bounded: each persist=True call
+    releases the previous call's frame, and ``release_chunk_cache()`` frees
+    the last one explicitly.
     """
     chunks = chunk_documents(
         docs, cfg, id_col=id_col, text_col=text_col,
         window=window, modulus=modulus, with_payload=True,
     )
     if persist:
+        release_chunk_cache()
         chunks = chunks.persist()
+        _PERSISTED_CHUNKS.append(chunks)
     manifest = chunks.select("doc_id", "chunk_idx", "chunk_sha", "chunk_len")
     store = chunks.groupBy("chunk_sha").agg(
         F.first("chunk_len").alias("chunk_len"),
@@ -85,10 +104,16 @@ def chunk_decode(
 
     ``strict`` raises executor-side during the decode job for any manifest
     row whose sha has no store payload (decoder.cpp:268-271 semantics);
-    non-strict substitutes '' so the sha check downstream fails instead.
-    Docs with zero chunks (empty text) do not appear — the caller left-joins
-    the doc list (see ``chunk_roundtrip_check``).
+    non-strict substitutes an empty payload so the sha check downstream
+    fails instead.  Docs with zero chunks (empty text) do not appear — the
+    caller left-joins the doc list (see ``chunk_roundtrip_check``).
+
+    Bytes-polymorphic like the encoder side (mbuffer.h consumes arbitrary
+    bytes): a store whose ``payload`` is BinaryType reassembles via
+    ``aggregate``+``concat`` over binary; StringType uses ``array_join``.
     """
+    is_binary = dict(store.dtypes).get("payload") == "binary"
+    empty_payload = F.lit(b"") if is_binary else F.lit("")
     payload = F.col("payload")
     if strict:
         payload = F.when(
@@ -101,24 +126,23 @@ def chunk_decode(
             ),
         ).otherwise(F.col("payload"))
     joined = manifest.join(store.select("chunk_sha", "payload"), "chunk_sha", "left")
+    # (l1,l2) reorder: sort the (chunk_idx, payload) structs — struct
+    # ordering is field-order lexicographic, so chunk_idx drives — then
+    # concat in sequence order.
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("chunk_idx", "payload"))),
+        lambda s: s["payload"],
+    )
+    if is_binary:
+        text = F.aggregate(
+            ordered, empty_payload, lambda acc, p: F.concat(acc, p)
+        )
+    else:
+        text = F.array_join(ordered, "")
     return (
         joined.select("doc_id", "chunk_idx", payload.alias("payload"))
         .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_chunks"),
-            # (l1,l2) reorder: sort the (chunk_idx, payload) structs —
-            # struct ordering is field-order lexicographic, so chunk_idx
-            # drives — then concat in sequence order.
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("chunk_idx", "payload"))
-                    ),
-                    lambda s: s["payload"],
-                ),
-                "",
-            ).alias("text"),
-        )
+        .agg(F.count("*").alias("n_chunks"), text.alias("text"))
     )
 
 
@@ -139,6 +163,7 @@ def chunk_roundtrip_check(
         docs, cfg, id_col=id_col, text_col=text_col, persist=True
     )
     decoded = chunk_decode(manifest, store, strict=True)
+    empty = F.lit(b"") if dict(docs.dtypes).get(text_col) == "binary" else F.lit("")
     orig = docs.select(
         F.col(id_col).alias("doc_id"),
         F.sha2(F.col(text_col), 256).alias("sha256"),
@@ -147,7 +172,7 @@ def chunk_roundtrip_check(
         "doc_id",
         "sha256",
         F.coalesce("n_chunks", F.lit(0)).cast("bigint").alias("n_chunks"),
-        (F.sha2(F.coalesce(F.col("text"), F.lit("")), 256) == F.col("sha256"))
+        (F.sha2(F.coalesce(F.col("text"), empty), 256) == F.col("sha256"))
         .cast("int")
         .alias("sha_ok"),
     )

@@ -19,6 +19,7 @@ from dedup_gpu_stream_parallelism_spark.config import (
     BASE1,
     BASE2,
     MERSENNE,
+    SIMHASH_HALF_BITS,
     DedupConfig,
 )
 from dedup_gpu_stream_parallelism_spark.operators.chunk import (
@@ -492,13 +493,15 @@ SELECT doc_id, CAST(t AS INT) AS perm, mh FROM minhash ORDER BY doc_id, perm
 
 
 def simhash_sql(cfg: DedupConfig | None = None) -> str:
-    """(doc_id, simhash): 31 majority-vote bits per hash stream, packed
-    hi(BASE2)*2^31 + lo(BASE1); docs shorter than k get simhash 0."""
+    """(doc_id, simhash): SIMHASH_HALF_BITS majority-vote bits per hash
+    stream, packed hi(BASE2)*2^HALF + lo(BASE1); docs shorter than k get
+    simhash 0.  The bit width is interpolated from config.py — the single
+    spec source shared with functions/signatures.py."""
     cfg = cfg or DedupConfig()
     return f"""
 WITH
 {signature_ctes(cfg)},
-  bits(b) AS (SELECT unnest(generate_series(0, 30))),
+  bits(b) AS (SELECT unnest(generate_series(0, {SIMHASH_HALF_BITS - 1}))),
   votes_lo AS (
     SELECT s.doc_id, b.b AS bit,
            SUM(CASE WHEN (s.sh >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
@@ -520,7 +523,8 @@ WITH
 SELECT d.doc_id,
        -- CAST: SUM() returns HUGEINT; HUGEINT->pandas converts to float64,
        -- which loses precision above 2^53 and breaks the driver value hash.
-       CAST(COALESCE(hi.v * (1::BIGINT << 31) + lo.v, 0) AS BIGINT) AS simhash
+       CAST(COALESCE(hi.v * (1::BIGINT << {SIMHASH_HALF_BITS}) + lo.v, 0)
+            AS BIGINT) AS simhash
 FROM documents d
 LEFT JOIN lo ON lo.doc_id = d.doc_id
 LEFT JOIN hi ON hi.doc_id = d.doc_id

@@ -119,10 +119,15 @@ class _Stager:
             if stale:
                 # purge old-version snapshots BEFORE writing the new marker:
                 # a crash mid-purge leaves no marker, so the next run purges
-                # again rather than resuming from a mixed-version workdir
+                # again rather than resuming from a mixed-version workdir.
+                # Only stage-snapshot dirs (NN_name) are deleted — a workdir
+                # shared with unrelated artifacts (or mistakenly pointed at a
+                # pre-existing directory) keeps everything unrecognized.
+                import re
+
                 for e in os.listdir(workdir):
                     p = os.path.join(workdir, e)
-                    if os.path.isdir(p):
+                    if os.path.isdir(p) and re.match(r"^\d\d_", e):
                         shutil.rmtree(p)
                 with open(marker, "w") as f:
                     f.write(PIPELINE_PLAN_VERSION)

@@ -89,3 +89,22 @@ def test_non_utf8_bytes_flow_through(spark, cfg):
         if b:
             got = b"".join(p for _, p in sorted(rebuilt[i]))
             assert got == b
+
+
+def test_binary_chunk_store_roundtrip(spark, cfg):
+    """The full chunk-store round-trip over BinaryType payloads: encode to a
+    binary chunk store, decode via the binary aggregate+concat branch, and
+    re-verify sha256 per doc in-engine (no Python-side reassembly)."""
+    from dedup_gpu_stream_parallelism_spark.operators import store as store_op
+
+    rng = random.Random(7)
+    blobs = [bytes(rng.randrange(256) for _ in range(rng.randint(0, 800)))
+             for _ in range(30)]
+    blobs += blobs[:8]  # duplicates share store payloads
+    df = spark.createDataFrame(
+        [(i, b) for i, b in enumerate(blobs)], "doc_id bigint, data binary"
+    )
+    out = store_op.chunk_roundtrip_check(df, cfg, "doc_id", "data").collect()
+    assert len(out) == len(blobs)
+    assert all(r.sha_ok == 1 for r in out)
+    store_op.release_chunk_cache()

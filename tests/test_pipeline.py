@@ -88,6 +88,25 @@ def test_resume_from_checkpoints(spark, corpus_df, cfg, tmp_path, oracle_results
     assert got == oracle_results["clusters"]
 
 
+def test_plan_version_purge_spares_foreign_dirs(spark, tmp_path):
+    """The stale-workdir purge deletes ONLY NN_stage snapshot dirs: a
+    workdir shared with (or mistakenly pointed at) unrelated artifacts
+    keeps everything it didn't recognize."""
+    from dedup_gpu_stream_parallelism_spark.plans.pipeline import _Stager
+
+    wd = tmp_path / "wd"
+    (wd / "01_sign_and_band").mkdir(parents=True)
+    (wd / "my_data").mkdir()
+    (wd / "my_data" / "keep.txt").write_text("precious")
+    (wd / "notes.md").write_text("also precious")
+    # no _PLAN_VERSION marker → stale → purge runs
+    _Stager(spark, str(wd))
+    assert not (wd / "01_sign_and_band").exists()
+    assert (wd / "my_data" / "keep.txt").read_text() == "precious"
+    assert (wd / "notes.md").exists()
+    assert (wd / "_PLAN_VERSION").exists()
+
+
 def test_stage_lineage_from_footers(spark, corpus_df, cfg, tmp_path):
     from dedup_gpu_stream_parallelism_spark.plans.pipeline import (
         run_pipeline,
