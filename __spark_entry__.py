@@ -412,6 +412,34 @@ def q_media_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.media_dedup(feats).orderBy("media_id")
 
 
+def q_stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's core identity — stream dedup — under the oracle:
+    documents replayed as 4 deterministic doc_id-range micro-batches
+    (file source, maxFilesPerTrigger=1, availableNow) through the
+    sha256-keyed ``applyInPandasWithState`` stream; the final table must
+    equal the batch manifest (representative = MIN doc_id — see the
+    determinism argument in streaming/replay.py)."""
+    from dedup_gpu_stream_parallelism_spark.streaming import replay
+
+    work = replay.fresh_workdir("exact", sf_dir)
+    return replay.stream_dedup_replay(spark, _docs(spark, sf_dir), work).orderBy(
+        "doc_id"
+    )
+
+
+def q_stream_near_dup_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NearDupStream's probe→emit→insert cycle (with mid-stream index
+    compaction at batch 2) under the oracle: the final cross-batch match
+    table must equal the batch LSH pair set restricted to cross-range
+    pairs (streaming/replay.py; oracle = duck_sql.stream_matches_sql)."""
+    from dedup_gpu_stream_parallelism_spark.streaming import replay
+
+    work = replay.fresh_workdir("neardup", sf_dir)
+    return replay.stream_near_dup_replay(
+        spark, _docs(spark, sf_dir), work, CFG
+    ).orderBy("doc_id", "matched_id")
+
+
 def q_tpch_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-flavor rollup over lineitem: predicate pushed to the scan,
     partial aggregation map-side, fixed-point integer sums so the oracle
@@ -501,6 +529,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_props_dedup": q_event_props_dedup,
         "binary_dedup_stats": q_binary_dedup_stats,
         "media_payload_dedup": q_media_payload_dedup,
+        "stream_dedup_replay": q_stream_dedup_replay,
+        "stream_near_dup_matches": q_stream_near_dup_matches,
         "tpch_pricing_summary": q_tpch_pricing_summary,
         "tpch_region_revenue": q_tpch_region_revenue,
     }
@@ -643,6 +673,19 @@ def oracle_sql() -> dict[str, str]:
                         AS INT) AS is_duplicate
             FROM documents ORDER BY media_id
         """,
+        "stream_dedup_replay": """
+            -- stream replays ascending doc_id ranges, so first-writer-wins
+            -- state == MIN(doc_id) (streaming/replay.py determinism note)
+            WITH h AS (
+              SELECT doc_id, sha256(text) AS sha256 FROM documents
+            )
+            SELECT doc_id, sha256,
+                   MIN(doc_id) OVER (PARTITION BY sha256) AS representative_id,
+                   CAST(doc_id <> MIN(doc_id) OVER (PARTITION BY sha256) AS INT)
+                     AS is_duplicate
+            FROM h ORDER BY doc_id
+        """,
+        "stream_near_dup_matches": duck_sql.stream_matches_sql(CFG),
         "tpch_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(COUNT(*) AS BIGINT) AS n_items,

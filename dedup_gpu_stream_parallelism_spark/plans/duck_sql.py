@@ -482,6 +482,28 @@ SELECT a_id, b_id FROM lsh_pairs ORDER BY a_id, b_id
 """
 
 
+def stream_matches_sql(cfg: DedupConfig | None = None, n_batches: int = 4) -> str:
+    """Oracle for the bounded NearDupStream replay: the stream stages the
+    corpus as ``n_batches`` contiguous doc_id ranges (width per =
+    ceil(n/n_batches)) and emits a pair exactly once — in the later doc's
+    batch, probing the index of strictly earlier batches — iff the two docs
+    share an LSH band key AND sit in different ranges.  The SQL recomputes
+    that set from the signature CTEs (streaming/replay.py twin)."""
+    cfg = cfg or DedupConfig()
+    return f"""
+WITH
+{signature_ctes(cfg)},
+  params AS (
+    SELECT GREATEST((COUNT(*) + {n_batches - 1}) // {n_batches}, 1) AS per
+    FROM documents
+  )
+SELECT p.b_id AS doc_id, p.a_id AS matched_id
+FROM lsh_pairs p, params
+WHERE p.a_id // params.per < p.b_id // params.per
+ORDER BY doc_id, matched_id
+"""
+
+
 def minhash_sql(cfg: DedupConfig | None = None) -> str:
     """Exploded signature matrix: (doc_id, perm, mh)."""
     cfg = cfg or DedupConfig()

@@ -161,6 +161,31 @@ class NearDupStream:
     def _index_path(self) -> str:
         return os.path.join(self.index_dir, "bands")
 
+    def _recover(self) -> None:
+        """Repair the index after a compact() that crashed between its two
+        renames: the whole pre-compaction index lives under ``bands.trash``
+        and — if the crash hit after the new-batch moves — the newest
+        (batch_id >= exclude_from) partitions live ONLY under
+        ``bands.compacting``.  Restore trash first, then pull any real
+        batch partitions stranded in the tmp dir back in (the half-written
+        ``batch_id=-1`` consolidated generation is NOT restored — its rows
+        still exist as the per-batch partitions just recovered from trash).
+        """
+        path = self._index_path()
+        tmp = path + ".compacting"
+        trash = path + ".trash"
+        if os.path.exists(trash) and not os.path.exists(path):
+            os.rename(trash, path)
+            if os.path.isdir(tmp):
+                for e in os.listdir(tmp):
+                    dst = os.path.join(path, e)
+                    if (
+                        e.startswith("batch_id=")
+                        and e != "batch_id=-1"
+                        and not os.path.exists(dst)
+                    ):
+                        os.rename(os.path.join(tmp, e), dst)
+
     def _texts_path(self) -> str:
         return os.path.join(self.index_dir, "texts")
 
@@ -203,10 +228,9 @@ class NearDupStream:
         )
         path = self._index_path()
         # recover from a compact() that crashed between its two renames
-        # (index then lives only under the trash dir)
-        trash = path + ".trash"
-        if os.path.exists(trash) and not os.path.exists(path):
-            os.rename(trash, path)
+        # (index then lives under the trash dir, newest batches possibly
+        # stranded in the compacting tmp dir)
+        self._recover()
         if _has_partitions(path):
             # partition-prune the historical index to the batch's buckets:
             # probe cost tracks the batch size, not the history size
@@ -295,10 +319,10 @@ class NearDupStream:
         tmp = path + ".compacting"
         trash = path + ".trash"
         # crash recovery FIRST: if a previous compact died between the two
-        # renames, the only copy of the index lives in the trash dir —
-        # restore it before any cleanup could delete it
-        if os.path.exists(trash) and not os.path.exists(path):
-            os.rename(trash, path)
+        # renames, the only copy of the index lives in the trash dir (and
+        # possibly partly in the tmp dir) — restore before any cleanup
+        # could delete it
+        self._recover()
         if not _has_partitions(path):
             return
         spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()

@@ -1,0 +1,155 @@
+"""Bounded deterministic stream replay — streaming operators under the oracle.
+
+The reference's pipeline is a stream (SPar ``[[spar::ToStream]]``,
+/root/reference/src/encoder_spar.cpp:89-315); its correctness story is that
+the streamed result equals the batch result.  This module makes that
+checkable by the driver's DuckDB oracle: it stages a table as ``n_batches``
+single-file parquet slices with strictly ascending modification times, so
+Spark's file stream source (``maxFilesPerTrigger=1`` + ``availableNow``)
+replays them as deterministic doc_id-ordered micro-batches, then runs a
+streaming operator to completion and returns the final table.
+
+Determinism argument (why a first-writer-wins stream equals the batch
+MIN(doc_id) oracle): batch *i* holds exactly doc_ids ``[i*per, (i+1)*per)``
+and batches fire in ascending order, so the first batch in which a sha256
+appears contains that group's smallest doc_id, and within a batch the
+smallest doc_id is chosen — hence representative == global MIN(doc_id),
+independent of executor scheduling.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dedup_gpu_stream_parallelism_spark.config import DedupConfig
+from dedup_gpu_stream_parallelism_spark.streaming.dedup_stream import (
+    NearDupStream,
+    exact_dedup_stream,
+)
+
+#: batch count used by the driver replay queries AND their oracle SQL —
+#: the SQL recomputes the same ranges with (COUNT(*) + N - 1) // N.
+REPLAY_BATCHES = 4
+
+
+def stage_range_batches(
+    docs: DataFrame,
+    srcdir: str,
+    n_batches: int = REPLAY_BATCHES,
+    id_col: str = "doc_id",
+) -> int:
+    """Write ``docs`` as ``n_batches`` single-file parquet slices of
+    contiguous ``id_col`` ranges, with strictly ascending mtimes so the file
+    stream source replays them oldest-first, one file per trigger.
+
+    Returns ``per`` — the range width; slice *i* holds ids in
+    ``[i*per, (i+1)*per)``.  Ids are assumed 0..n-1 (the testdata contract,
+    shared with the incremental queries).
+    """
+    n = docs.count()
+    per = max(1, -(-n // n_batches))
+    os.makedirs(srcdir, exist_ok=True)
+    base = time.time() - 3600.0  # firmly in the past, ascending
+    for i in range(n_batches):
+        lo, hi = i * per, (i + 1) * per
+        part = docs.where((F.col(id_col) >= lo) & (F.col(id_col) < hi))
+        stage = os.path.join(srcdir, f"_stage_{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(stage)
+        data = [f for f in os.listdir(stage) if f.endswith(".parquet")]
+        dst = os.path.join(srcdir, f"{i:04d}.parquet")
+        os.replace(os.path.join(stage, data[0]), dst)
+        shutil.rmtree(stage)
+        os.utime(dst, (base + 10.0 * i, base + 10.0 * i))
+    return per
+
+
+def fresh_workdir(tag: str, sf_dir: str) -> str:
+    """Per-(query, dataset) scratch dir under /tmp, wiped on entry so reruns
+    never resume a finished checkpoint (bounded: one live copy per tag)."""
+    name = os.path.basename(os.path.normpath(sf_dir)) or "data"
+    work = os.path.join("/tmp", "spark_graft_stream", f"{tag}_{name}")
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work, exist_ok=True)
+    return work
+
+
+def stream_dedup_replay(
+    spark: SparkSession,
+    docs: DataFrame,
+    workdir: str,
+    n_batches: int = REPLAY_BATCHES,
+) -> DataFrame:
+    """Run ``exact_dedup_stream`` over a bounded replay of ``docs`` and
+    return the final (doc_id, sha256, representative_id, is_duplicate)
+    table — deterministic, so the batch dedup-manifest SQL is its oracle.
+    """
+    docs = docs.select(F.col("doc_id").cast("bigint").alias("doc_id"), "text")
+    srcdir = os.path.join(workdir, "src")
+    outdir = os.path.join(workdir, "out")
+    cpdir = os.path.join(workdir, "checkpoint")
+    stage_range_batches(docs, srcdir, n_batches)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcdir)
+    )
+    query = (
+        exact_dedup_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", outdir)
+        .option("checkpointLocation", cpdir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.read.parquet(outdir).select(
+        "doc_id", "sha256", "representative_id", "is_duplicate"
+    )
+
+
+def stream_near_dup_replay(
+    spark: SparkSession,
+    docs: DataFrame,
+    workdir: str,
+    cfg: DedupConfig | None = None,
+    n_batches: int = REPLAY_BATCHES,
+    n_buckets: int = 8,
+    compact_every: int | None = 2,
+) -> DataFrame:
+    """Run ``NearDupStream`` (probe → emit → insert, with mid-stream index
+    compaction) over a bounded replay and return the final cross-batch
+    match table (doc_id, matched_id).
+
+    Deterministic: a pair (a < b) sharing an LSH band key is emitted exactly
+    once — in b's batch, probing the index that already holds a — iff a and
+    b land in different range batches.  The oracle recomputes exactly that
+    set from the signature CTEs (``stream_matches_sql``).
+    """
+    cfg = cfg or DedupConfig()
+    docs = docs.select(F.col("doc_id").cast("bigint").alias("doc_id"), "text")
+    srcdir = os.path.join(workdir, "src")
+    stage_range_batches(docs, srcdir, n_batches)
+    nds = NearDupStream(
+        index_dir=os.path.join(workdir, "index"),
+        out_dir=os.path.join(workdir, "matches"),
+        cfg=cfg,
+        confirm=False,
+        n_buckets=n_buckets,
+        compact_every=compact_every,
+    )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcdir)
+        # each staged slice is one file = one scan partition; spread the
+        # signature UDF across the cluster before foreachBatch sees it
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    query = nds.attach(stream, os.path.join(workdir, "checkpoint")).start()
+    query.awaitTermination()
+    return spark.read.parquet(nds.out_dir).select("doc_id", "matched_id")

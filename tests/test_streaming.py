@@ -361,3 +361,38 @@ def test_compact_crash_between_renames_recovers(spark, tmp_path):
     # and a later compact() also works cleanly on the recovered index
     nds.compact()
     assert spark.read.parquet(nds._index_path()).count() >= before
+
+
+def test_compact_crash_with_stranded_tmp_batches_recovers(spark, tmp_path):
+    """Deeper crash window: compact(exclude_from) died AFTER moving the
+    newest batch partitions trash->tmp but BEFORE rename(tmp, path) — those
+    partitions then exist ONLY under .compacting.  Recovery must restore
+    them into the index instead of rmtree-ing them with the tmp dir."""
+    import os as _os
+
+    b0, b1 = _mini_batches(spark)
+    nds = ds.NearDupStream(str(tmp_path / "idx"), str(tmp_path / "out"),
+                           n_buckets=4)
+    nds.process_batch(b0, 0)
+    nds.process_batch(b1, 1)
+    path = nds._index_path()
+    cols = ["doc_id", "band", "band_key", "bucket"]
+    before = sorted(map(tuple, spark.read.parquet(path).select(*cols).collect()))
+    n_batch1 = spark.read.parquet(path).where("batch_id = 1").count()
+    assert n_batch1 > 0
+
+    # replicate compact(exclude_from=1) up to the crash point
+    tmp, trash = path + ".compacting", path + ".trash"
+    (
+        spark.read.parquet(path).where("batch_id < 1").drop("batch_id")
+        .repartition(4, "bucket")
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(_os.path.join(tmp, "batch_id=-1"))
+    )
+    _os.rename(path, trash)
+    _os.rename(_os.path.join(trash, "batch_id=1"), _os.path.join(tmp, "batch_id=1"))
+    # CRASH here (before rename(tmp, path)).  A standalone compact() runs:
+    nds.compact()
+    after_df = spark.read.parquet(path)
+    after = sorted(map(tuple, after_df.select(*cols).collect()))
+    assert before == after  # batch 1's rows survived the crash
