@@ -304,28 +304,49 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return sim_op.cosine_topk(_emb(spark, sf_dir), k=5).orderBy("vec_id", "rank")
+    """Exact top-k — the BLOCKED kernel (cogrouped block-matrix GEMM, no
+    driver collect at any index size); results identical to the broadcast
+    fast path (tests/test_similarity.py), plan asserted collect-free in
+    tests/test_plans.py."""
+    return sim_op.cosine_topk(
+        _emb(spark, sf_dir), k=5, strategy="blocked"
+    ).orderBy("vec_id", "rank")
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return sim_op.ann_lsh_topk(_emb(spark, sf_dir), k=5).orderBy("vec_id", "rank")
+    """Hyperplane-LSH ANN with SCALE-DERIVED parameters: n_planes grows
+    log2(n) so expected bucket size stays ~TARGET_BUCKET at any index
+    size (sim_op.derive_lsh_planes)."""
+    emb = _emb(spark, sf_dir)
+    planes = sim_op.derive_lsh_planes(emb.count())
+    return sim_op.ann_lsh_topk(emb, k=5, n_planes=planes, n_tables=8).orderBy(
+        "vec_id", "rank"
+    )
 
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse-quantizer ANN — the alternative bucketing scheme to
     hyperplane LSH (rows-only: approximate by construction; recall vs
-    exact asserted in tests/test_similarity.py)."""
+    exact asserted in tests/test_similarity.py).  n_centroids ≈ sqrt(n),
+    n_probe ≈ 12% of centroids — both derived from the index count."""
+    emb = _emb(spark, sf_dir)
+    n_centroids, n_probe = sim_op.derive_ivf_params(emb.count())
     return sim_op.ivf_topk(
-        _emb(spark, sf_dir), k=5, n_centroids=16, n_probe=6
+        emb, k=5, n_centroids=n_centroids, n_probe=n_probe
     ).orderBy("vec_id", "rank")
 
 
 def q_ann_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate threshold pairs — the sub-quadratic 100 TB
     pair generator (precision 1 by in-bucket exact verify; recall asserted
-    vs the exact blocked kernel in tests/test_similarity.py)."""
+    vs the exact blocked kernel in tests/test_similarity.py).  n_planes is
+    derived from the index count and the max_bucket backstop caps any
+    viral bucket's task at a bounded GEMM."""
+    emb = _emb(spark, sf_dir)
+    planes = sim_op.derive_lsh_planes(emb.count())
     return sim_op.ann_near_dup_pairs(
-        _emb(spark, sf_dir), threshold=0.4, n_planes=4, n_tables=16
+        emb, threshold=0.4, n_planes=planes, n_tables=16,
+        max_bucket=8 * sim_op.TARGET_BUCKET,
     ).orderBy("a_id", "b_id")
 
 

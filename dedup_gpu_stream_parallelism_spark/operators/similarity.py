@@ -112,24 +112,28 @@ def cosine_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    strategy: str = "broadcast",
+    strategy: str = "auto",
     n_blocks: int = 4,
 ) -> DataFrame:
     """Exact top-k cosine neighbours for every vector (self excluded).
 
-    ``strategy="broadcast"`` (default): the index side is collected once on
-    the driver and broadcast (read-only numpy matrix) to every task;
-    queries stream through ``mapInPandas`` and hit the index with one
-    float64 GEMM per Arrow batch.  Refuses above ``BROADCAST_MAX_ROWS``.
-    ``strategy="blocked"``: fully distributed block-matrix ranking — no
-    driver collect at any size (``_blocked_topk``).  Beyond exact budgets,
-    ``ann_lsh_topk`` is the sub-quadratic path.
+    ``strategy="auto"`` (default): one cheap ``count()`` picks the kernel —
+    the broadcast fast path below ``BROADCAST_MAX_ROWS``, the fully
+    distributed blocked kernel above it.  ``"blocked"``: block-matrix
+    ranking with no driver collect at any size (``_blocked_topk``) — the
+    100 TB plan shape.  ``"broadcast"``: index collected once on the driver
+    and broadcast (read-only numpy matrix) to every task; queries stream
+    through ``mapInPandas`` with one float64 GEMM per Arrow batch; refuses
+    above ``BROADCAST_MAX_ROWS``.  Beyond exact budgets, ``ann_lsh_topk``
+    is the sub-quadratic path.
 
     Ties broken by neighbor_id ascending (matches the SQL oracle's
     ORDER BY cosine DESC, neighbor_id).
     """
     spark = emb.sparkSession
     src = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+    if strategy == "auto":
+        strategy = "broadcast" if src.count() <= BROADCAST_MAX_ROWS else "blocked"
     if strategy == "blocked":
         return _blocked_topk(src, k, n_blocks)
     if strategy != "broadcast":
@@ -286,6 +290,36 @@ PAIRS_SCHEMA = "a_id bigint, b_id bigint, cosine double"
 # (fully distributed, no driver collect) kernel takes over.
 BROADCAST_MAX_ROWS = 100_000
 
+# Expected LSH bucket size the derived plane count targets; the in-bucket
+# GEMM cost per task is then ~TARGET_BUCKET² regardless of index size.
+TARGET_BUCKET = 256
+
+
+def derive_lsh_planes(n: int, target_bucket: int = TARGET_BUCKET,
+                      max_planes: int = 24) -> int:
+    """Scale-correct hyperplane count: n_planes ≈ log2(n / target_bucket),
+    clamped to [2, max_planes], so the expected bucket size stays
+    ~``target_bucket`` as the index grows (the ANN scale contract — 2^20
+    vectors → 12 planes, 2^30 → 22).  Recall per table falls as planes rise;
+    compensate with n_tables (cost linear), per the docstrings below."""
+    import math
+
+    if n <= target_bucket:
+        return 2
+    return max(2, min(max_planes, math.ceil(math.log2(n / target_bucket))))
+
+
+def derive_ivf_params(n: int, probe_frac: float = 0.12,
+                      max_centroids: int = 65_536) -> tuple[int, int]:
+    """IVF sizing: n_centroids ≈ sqrt(n) (classic IVF balance: bucket size
+    ≈ centroid count), n_probe ≈ probe_frac of the centroids (≥4).  Keeps
+    per-bucket GEMM and the centroid table both O(sqrt n)."""
+    import math
+
+    n_centroids = max(4, min(max_centroids, int(math.isqrt(max(1, n)))))
+    n_probe = max(4, math.ceil(probe_frac * n_centroids))
+    return n_centroids, n_probe
+
 
 def _blocked_threshold_pairs(
     src: DataFrame, threshold: float, n_blocks: int
@@ -419,29 +453,31 @@ def ivf_topk(
 
         return gen
 
+    dim = cent.shape[1]
     for _ in range(max(0, lloyd_iters)):
         assigned = src.mapInPandas(
             assign_factory(cent, "centroid"),
             schema="vec_id bigint, vec array<float>, centroid int",
         )
+        # Lloyd update as ONE narrow aggregation: posexplode to
+        # (centroid, dim_pos, value) then groupBy(centroid, pos) mean —
+        # the plan stays 3 expressions wide at ANY dim, vs one avg
+        # expression per dimension (a 1024-wide Catalyst plan at dim=1024).
+        # The collected table is n_centroids*dim tiny rows by construction.
         means = (
-            assigned.select(
-                "centroid", F.transform("vec", lambda x: x.cast("double")).alias("v")
-            )
-            .groupBy("centroid")
-            .agg(
-                F.array(*[
-                    F.avg(F.element_at("v", i + 1)) for i in range(cent.shape[1])
-                ]).alias("mean_vec")
-            )
+            assigned.select("centroid", F.posexplode("vec").alias("pos", "x"))
+            .groupBy("centroid", "pos")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
             .collect()
         )
         new_cent = cent.copy()
+        upd: dict[int, np.ndarray] = {}
         for r in means:
-            v = np.asarray(r["mean_vec"], dtype=np.float64)
+            upd.setdefault(int(r["centroid"]), np.zeros(dim))[int(r["pos"])] = r["m"]
+        for c, v in upd.items():
             n = np.linalg.norm(v)
             if n > 1e-12:
-                new_cent[r["centroid"]] = v / n
+                new_cent[c] = v / n
         cent = new_cent
 
     # final index assignment with the refined centroids

@@ -78,3 +78,24 @@ def test_blocked_embedding_kernels_are_cogrouped(spark):
     assert "FlatMapCoGroupsInPandas" in pairs_plan
     topk_plan = _plan(sim.cosine_topk(emb, k=3, strategy="blocked"))
     assert "FlatMapCoGroupsInPandas" in topk_plan
+
+
+def test_driver_cosine_topk_runs_the_blocked_kernel(spark):
+    """The shipping cosine_topk query must execute the cogrouped block-
+    matrix GEMM — not the driver-collect broadcast path (whose plan is a
+    bare MapInPandas over the scan with no cogroup)."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["cosine_topk"](spark, SF))
+    assert "FlatMapCoGroupsInPandas" in plan
+
+
+def test_cosine_topk_auto_switches_on_index_size(spark, monkeypatch):
+    """strategy='auto' picks broadcast under the cap, blocked above it."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    monkeypatch.setattr(sim, "BROADCAST_MAX_ROWS", 10)
+    plan_big = _plan(sim.cosine_topk(emb, k=3, strategy="auto"))
+    assert "FlatMapCoGroupsInPandas" in plan_big
+    monkeypatch.setattr(sim, "BROADCAST_MAX_ROWS", 10_000_000)
+    plan_small = _plan(sim.cosine_topk(emb, k=3, strategy="auto"))
+    assert "FlatMapCoGroupsInPandas" not in plan_small

@@ -109,6 +109,52 @@ def test_ann_near_dup_recall(spark, emb):
     assert len(ann & exact) / max(1, len(exact)) >= 0.5
 
 
+def test_ann_recall_at_derived_params(spark, emb):
+    """The SHIPPING parameterization: n_planes derived from the index count
+    (expected bucket ~TARGET_BUCKET) — recall must clear the same floor the
+    fixed-param test uses, and the max_bucket backstop must not break
+    precision 1."""
+    n = emb.count()
+    planes = sim.derive_lsh_planes(n)
+    assert planes == max(2, min(24, int(np.ceil(np.log2(max(n, 257) / 256)))))
+    exact_topk = {
+        (r.vec_id, r.neighbor_id) for r in sim.cosine_topk(emb, k=5).collect()
+    }
+    ann_topk = {
+        (r.vec_id, r.neighbor_id)
+        for r in sim.ann_lsh_topk(emb, k=5, n_planes=planes, n_tables=8).collect()
+    }
+    assert len(exact_topk & ann_topk) / len(exact_topk) >= 0.5
+
+    exact_pairs = {
+        (r.a_id, r.b_id)
+        for r in sim.cosine_near_dup_pairs(emb, threshold=0.4).collect()
+    }
+    ann_pairs = {
+        (r.a_id, r.b_id)
+        for r in sim.ann_near_dup_pairs(
+            emb, threshold=0.4, n_planes=planes, n_tables=16,
+            max_bucket=8 * sim.TARGET_BUCKET,
+        ).collect()
+    }
+    assert ann_pairs <= exact_pairs  # precision 1 with the cap on
+    assert len(ann_pairs & exact_pairs) / max(1, len(exact_pairs)) >= 0.5
+
+
+def test_ivf_recall_at_derived_params(spark, emb):
+    """IVF at the shipping sqrt(n)-centroid parameterization."""
+    n_centroids, n_probe = sim.derive_ivf_params(emb.count())
+    assert n_centroids == int(np.sqrt(emb.count()))
+    exact = {
+        (r.vec_id, r.neighbor_id) for r in sim.cosine_topk(emb, k=5).collect()
+    }
+    rows = sim.ivf_topk(
+        emb, k=5, n_centroids=n_centroids, n_probe=n_probe
+    ).collect()
+    got = {(r.vec_id, r.neighbor_id) for r in rows}
+    assert len(got & exact) / len(exact) >= 0.4
+
+
 def test_broadcast_refuses_above_cap(spark, emb, monkeypatch):
     monkeypatch.setattr(sim, "BROADCAST_MAX_ROWS", 3)
     with pytest.raises(ValueError, match="broadcast strategy refused"):
