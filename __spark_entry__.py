@@ -243,6 +243,28 @@ def q_chunk_store_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return store_op.chunk_store_stats(manifest, store)
 
 
+def q_incremental_chunk_store_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level incremental append under the oracle: first half encoded,
+    second half appended via the anti-join increment
+    (store.chunk_store_increment, the --append-to job path) — the
+    cumulative archive's stats must equal the ONE-SHOT encode's (the
+    oracle IS chunk_store_stats_sql)."""
+    from dedup_gpu_stream_parallelism_spark.operators import store as store_op
+
+    docs = _docs(spark, sf_dir)
+    split = docs.count() // 2
+    old_m, old_s = store_op.chunk_encode_store(
+        docs.where(F.col("doc_id") < split), CFG, "doc_id", "text", persist=True
+    )
+    new_m, novel_s = store_op.chunk_store_increment(
+        old_s, docs.where(F.col("doc_id") >= split), CFG, "doc_id", "text",
+        persist=True,
+    )
+    return store_op.chunk_store_stats(
+        old_m.unionByName(new_m), old_s.unionByName(novel_s)
+    )
+
+
 def q_compression_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL-checkable half of the compress-stage stats (n_payloads,
     total_chars over the unique store); compressed byte counts stay in
@@ -276,6 +298,28 @@ def q_compression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _, store = exact_op.encode_store(_docs(spark, sf_dir), "doc_id", "text")
     return cz.compression_stats(cz.compress_store(store, cz.COMPRESS_GZIP))
+
+
+def q_compression_roundtrip_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression validated BY DECODE, like the reference decoder
+    (decoder.cpp:107-197): unique store → compress (gzip AND bzip2) →
+    decompress → per-payload sha256 re-verify.  Puts the K2/K3 codecs
+    under the hard oracle signal (one row per unique payload per codec)."""
+    from dedup_gpu_stream_parallelism_spark.operators import compress as cz
+
+    _, store = exact_op.encode_store(_docs(spark, sf_dir), "doc_id", "text")
+    both = cz.compress_store(store, cz.COMPRESS_GZIP).unionByName(
+        cz.compress_store(store, cz.COMPRESS_BZIP2)
+    )
+    return (
+        cz.decompress_store(both)
+        .select(
+            "sha256",
+            "compress_type",
+            (F.sha2("payload", 256) == F.col("sha256")).cast("int").alias("sha_ok"),
+        )
+        .orderBy("sha256", "compress_type")
+    )
 
 
 def q_lzss_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -529,8 +573,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_check": q_roundtrip_check,
         "chunk_roundtrip_check": q_chunk_roundtrip_check,
         "chunk_store_stats": q_chunk_store_stats,
+        "incremental_chunk_store_stats": q_incremental_chunk_store_stats,
         "compression_payload_stats": q_compression_payload_stats,
         "chunk_compression_stats": q_chunk_compression_stats,
+        "compression_roundtrip_check": q_compression_roundtrip_check,
         # rows-only: compressed byte counts are not SQL-computable
         "compression_stats": q_compression_stats,
         "lzss_estimate": q_lzss_estimate,
@@ -667,7 +713,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "chunk_roundtrip_check": duck_sql.chunk_roundtrip_sql(),
         "chunk_store_stats": duck_sql.chunk_store_stats_sql(),
+        # increment(first half) ∪ increment-append(second half) must equal
+        # the one-shot archive — same oracle
+        "incremental_chunk_store_stats": duck_sql.chunk_store_stats_sql(),
         "compression_payload_stats": duck_sql.COMPRESSION_PAYLOAD_STATS_SQL,
+        "compression_roundtrip_check": """
+            -- decode-validated compression: every unique payload must
+            -- round-trip through each codec with its sha intact
+            WITH u AS (SELECT DISTINCT sha256(text) AS sha256 FROM documents),
+                 c(compress_type) AS (VALUES ('gzip'), ('bzip2'))
+            SELECT u.sha256, c.compress_type, 1 AS sha_ok
+            FROM u CROSS JOIN c
+            ORDER BY sha256, compress_type
+        """,
         "chunk_compression_stats": duck_sql.chunk_compression_stats_sql(),
         # full signature-pipeline oracles (bit-identical integer hashing)
         "cdc_chunks": duck_sql.cdc_chunks_sql(),

@@ -74,18 +74,27 @@ def compress_store(
 
 
 def decompress_store(compressed: DataFrame) -> DataFrame:
-    """Inverse of compress_store: (sha256, payload) back out; used by the
-    round-trip oracle (the decoder's uncompress_chunk,
-    /root/reference/src/decoder.cpp:107-197)."""
+    """Inverse of compress_store: (sha256, compress_type, payload) back out;
+    used by the round-trip oracle (the decoder's uncompress_chunk,
+    /root/reference/src/decoder.cpp:107-197).  compress_type is kept so a
+    multi-codec store stays row-identifiable after decode."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for ctype, blob in zip(pdf["compress_type"], pdf["compressed"]):
                 out.append(_DECODERS[ctype](bytes(blob)).decode("utf-8"))
-            yield pd.DataFrame({"sha256": pdf["sha256"], "payload": out})
+            yield pd.DataFrame(
+                {
+                    "sha256": pdf["sha256"],
+                    "compress_type": pdf["compress_type"],
+                    "payload": out,
+                }
+            )
 
-    return compressed.mapInPandas(gen, schema="sha256 string, payload string")
+    return compressed.mapInPandas(
+        gen, schema="sha256 string, compress_type string, payload string"
+    )
 
 
 def compression_stats(compressed: DataFrame) -> DataFrame:

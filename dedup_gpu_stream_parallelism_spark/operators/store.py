@@ -43,17 +43,19 @@ from dedup_gpu_stream_parallelism_spark.operators.chunk import (
 )
 
 
-# The one currently-persisted chunk frame (see chunk_encode_store): a new
-# persist=True call releases the previous frame first, so a long session
-# running many encode queries holds at most ONE full-corpus chunk frame in
-# executor cache instead of accumulating one per query.
+# Recently-persisted chunk frames (see chunk_encode_store), capped at two
+# live frames (incremental queries encode two halves): the oldest is
+# released as new ones arrive, so a long session running many encode
+# queries holds a BOUNDED executor cache instead of accumulating one
+# full-corpus frame per query.
 _PERSISTED_CHUNKS: list[DataFrame] = []
+_PERSIST_CAP = 2
 
 
 def release_chunk_cache() -> None:
-    """Unpersist the chunk frame cached by the last
-    ``chunk_encode_store(persist=True)`` call (no-op if none).  Jobs call
-    this once both outputs are materialized."""
+    """Unpersist every chunk frame cached by
+    ``chunk_encode_store(persist=True)`` (no-op if none).  Jobs call this
+    once their outputs are materialized."""
     while _PERSISTED_CHUNKS:
         _PERSISTED_CHUNKS.pop().unpersist()
 
@@ -86,7 +88,8 @@ def chunk_encode_store(
         window=window, modulus=modulus, with_payload=True,
     )
     if persist:
-        release_chunk_cache()
+        while len(_PERSISTED_CHUNKS) >= _PERSIST_CAP:
+            _PERSISTED_CHUNKS.pop(0).unpersist()
         chunks = chunks.persist()
         _PERSISTED_CHUNKS.append(chunks)
     manifest = chunks.select("doc_id", "chunk_idx", "chunk_sha", "chunk_len")
@@ -95,6 +98,29 @@ def chunk_encode_store(
         F.first("chunk_text").alias("payload"),
     )
     return manifest, store
+
+
+def chunk_store_increment(
+    prev_store: DataFrame,
+    new_docs: DataFrame,
+    cfg: DedupConfig | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    persist: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental append at CHUNK granularity: encode ``new_docs`` and keep
+    only the chunks whose sha is absent from ``prev_store`` — the encoder
+    probing a populated hash table (encoder.cpp:481-524).  Returns
+    (new_manifest, novel_store); the cumulative archive is
+    ``prev_manifest ∪ new_manifest`` / ``prev_store ∪ novel_store`` and
+    stays one-payload-per-sha by the anti-join.  ``prev_store`` must be the
+    CUMULATIVE store (every generation so far), not one increment — see
+    jobs/encode_store_job.py's lineage chain."""
+    manifest, store = chunk_encode_store(
+        new_docs, cfg, id_col=id_col, text_col=text_col, persist=persist
+    )
+    novel = store.join(prev_store.select("chunk_sha"), "chunk_sha", "left_anti")
+    return manifest, novel
 
 
 def chunk_decode(

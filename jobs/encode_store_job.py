@@ -11,12 +11,15 @@ write path) with optional incremental append against an existing store.
 
 Outputs under --output: chunk_manifest/ (doc_id, chunk_idx, chunk_sha,
 chunk_len), chunk_store/ (one payload per distinct chunk_sha),
-doc_manifest/ (doc-level dedup manifest), stats.json.  With
-``--append-to <prev output>`` the doc manifest is computed incrementally
-against the previous run's doc_manifest (exact.dedup_increment) and only
-NEW unique chunks are written (anti-join on the previous chunk_store keys)
-— the encoder-probing-a-populated-hash-table workflow
-(/root/reference/src/encoder.cpp:481-524)."""
+doc_manifest/ (doc-level dedup manifest), stats.json, _lineage/ (the
+append ancestry).  With ``--append-to <prev output>`` the doc manifest is
+computed incrementally against the CUMULATIVE archive (every generation in
+the previous run's lineage chain) and only chunks novel to the whole chain
+are written (anti-join on the union of all prior chunk_store keys) — the
+encoder-probing-a-populated-hash-table workflow
+(/root/reference/src/encoder.cpp:481-524).  Chained appends are safe: each
+run records its parent in _lineage/, so generation N dedups against
+generations 0..N-1, keeping the cumulative union one-payload-per-sha."""
 
 from __future__ import annotations
 
@@ -26,6 +29,27 @@ import os
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
+
+
+def resolve_chain(spark: SparkSession, append_to: str) -> list[str]:
+    """Full ancestry of an append chain, nearest generation first.
+
+    Each output dir records its own --append-to parent in ``_lineage/``
+    (written via the DataFrame JSON writer so any Spark-supported
+    filesystem works).  Pre-lineage outputs (written before this scheme)
+    terminate the chain — they were necessarily full encodes, since
+    chained appends were previously rejected by data corruption, so the
+    chain is complete."""
+    chain: list[str] = []
+    cur: str | None = append_to
+    while cur and cur not in chain:  # cycle guard
+        chain.append(cur)
+        try:
+            row = spark.read.json(os.path.join(cur, "_lineage")).first()
+            cur = row["append_to"] if row and row["append_to"] else None
+        except Exception:
+            cur = None
+    return chain
 
 
 def main() -> None:
@@ -57,18 +81,23 @@ def main() -> None:
         docs, cfg, id_col=args.id_col, text_col=args.text_col, persist=True
     )
 
-    if args.append_to:
-        prev_doc_manifest = spark.read.parquet(
-            os.path.join(args.append_to, "doc_manifest")
-        )
+    chain = resolve_chain(spark, args.append_to) if args.append_to else []
+    if chain:
+        # dedup against the CUMULATIVE archive: every generation in the
+        # chain (an append-mode output holds only its own novel rows)
+        def _union(sub: str):
+            dfs = [spark.read.parquet(os.path.join(g, sub)) for g in chain]
+            out = dfs[0]
+            for d in dfs[1:]:
+                out = out.unionByName(d)
+            return out
+
         doc_manifest = exact_op.dedup_increment(
-            prev_doc_manifest, docs, args.id_col, args.text_col
+            _union("doc_manifest"), docs, args.id_col, args.text_col
         )
-        prev_keys = spark.read.parquet(
-            os.path.join(args.append_to, "chunk_store")
-        ).select("chunk_sha")
-        # store only chunks this batch introduces; the union of the two
-        # stores remains one-payload-per-sha
+        prev_keys = _union("chunk_store").select("chunk_sha")
+        # store only chunks novel to the whole chain; the cumulative union
+        # of all generations' stores remains one-payload-per-sha
         store = store.join(prev_keys, "chunk_sha", "left_anti")
     else:
         doc_manifest = exact_op.dedup_manifest(
@@ -84,23 +113,28 @@ def main() -> None:
     doc_manifest.write.mode("overwrite").parquet(
         os.path.join(args.output, "doc_manifest")
     )
+    # record ancestry so the NEXT append can resolve the full chain
+    spark.createDataFrame(
+        [(args.append_to or "",)], "append_to string"
+    ).coalesce(1).write.mode("overwrite").json(os.path.join(args.output, "_lineage"))
 
     # stats describe the CUMULATIVE archive: in append mode the manifest
-    # and store are the union of the previous run's and this run's (the
-    # novel-only store alone would report a meaningless saving factor)
+    # and store are the union of EVERY generation in the chain plus this
+    # run's (a novel-only store alone would report a meaningless factor)
     stats_manifest = spark.read.parquet(os.path.join(args.output, "chunk_manifest"))
     stats_store = spark.read.parquet(os.path.join(args.output, "chunk_store"))
-    if args.append_to:
+    for g in chain:
         stats_manifest = stats_manifest.unionByName(
-            spark.read.parquet(os.path.join(args.append_to, "chunk_manifest"))
+            spark.read.parquet(os.path.join(g, "chunk_manifest"))
         )
         stats_store = stats_store.unionByName(
-            spark.read.parquet(os.path.join(args.append_to, "chunk_store"))
+            spark.read.parquet(os.path.join(g, "chunk_store"))
         )
     stats = store_op.chunk_store_stats(stats_manifest, stats_store).first().asDict()
     with open(os.path.join(args.output, "stats.json"), "w") as f:
         json.dump(stats, f)
     print("STATS " + json.dumps(stats))
+    store_op.release_chunk_cache()
     spark.stop()
 
 

@@ -64,9 +64,11 @@ def test_spark_submit_pyfiles_job(tmp_path, spark):
 
 
 @pytest.mark.slow
-def test_spark_submit_encode_store_incremental(tmp_path, spark):
-    """encode_store_job: initial encode, then incremental append — the
-    union of stores stays one-payload-per-sha and decodes every doc."""
+def test_spark_submit_encode_store_incremental_chain(tmp_path, spark):
+    """encode_store_job: initial encode, then TWO chained appends (the
+    generation-3 case that used to re-store generation-1 chunks) — the
+    3-way union of stores stays one-payload-per-sha and decodes every
+    doc."""
     spark_submit = shutil.which("spark-submit")
     if spark_submit is None:
         pytest.skip("spark-submit not on PATH")
@@ -78,10 +80,14 @@ def test_spark_submit_encode_store_incremental(tmp_path, spark):
     from dedup_gpu_stream_parallelism_spark.sources.corpus import corpus_df
 
     full = corpus_df(spark, n_files=100, seed=23, partitions=4).cache()
-    inp1 = str(tmp_path / "batch1.parquet")
-    inp2 = str(tmp_path / "batch2.parquet")
-    full.where("file_id < 50").write.mode("overwrite").parquet(inp1)
-    full.where("file_id >= 50").write.mode("overwrite").parquet(inp2)
+    splits = [(0, 40), (40, 70), (70, 100)]
+    inps = []
+    for i, (lo, hi) in enumerate(splits):
+        inp = str(tmp_path / f"batch{i}.parquet")
+        full.where(f"file_id >= {lo} AND file_id < {hi}").write.mode(
+            "overwrite"
+        ).parquet(inp)
+        inps.append(inp)
 
     env = dict(os.environ)
     env.pop("PYTHONPATH", None)
@@ -101,25 +107,28 @@ def test_spark_submit_encode_store_incremental(tmp_path, spark):
         )
         assert res.returncode == 0, res.stderr[-3000:]
 
-    out1 = str(tmp_path / "run1")
-    out2 = str(tmp_path / "run2")
-    submit(inp1, out1)
-    submit(inp2, out2, extra=("--append-to", out1))
+    outs = [str(tmp_path / f"run{i}") for i in range(3)]
+    submit(inps[0], outs[0])
+    submit(inps[1], outs[1], extra=("--append-to", outs[0]))
+    submit(inps[2], outs[2], extra=("--append-to", outs[1]))  # chained
 
-    store1 = spark.read.parquet(os.path.join(out1, "chunk_store"))
-    store2 = spark.read.parquet(os.path.join(out2, "chunk_store"))
-    union_store = store1.unionByName(store2)
-    # union stays unique per sha (append wrote only NOVEL chunks)
+    def _union(sub):
+        dfs = [spark.read.parquet(os.path.join(o, sub)) for o in outs]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
+    union_store = _union("chunk_store")
+    # cumulative union stays unique per sha even across a CHAINED append
+    # (generation 3 must not re-store generation-1 chunks)
     assert union_store.count() == union_store.select("chunk_sha").distinct().count()
 
-    # decode every doc from (manifest1 ∪ manifest2) ⋈ union store
+    # decode every doc from the 3-way manifests ⋈ union store
     from dedup_gpu_stream_parallelism_spark.operators import store as store_op
     from pyspark.sql import functions as F
 
-    manifests = spark.read.parquet(
-        os.path.join(out1, "chunk_manifest")
-    ).unionByName(spark.read.parquet(os.path.join(out2, "chunk_manifest")))
-    decoded = store_op.chunk_decode(manifests, union_store)
+    decoded = store_op.chunk_decode(_union("chunk_manifest"), union_store)
     orig = full.select(
         F.col("file_id").alias("doc_id"), F.col("content").alias("text")
     )
@@ -132,13 +141,14 @@ def test_spark_submit_encode_store_incremental(tmp_path, spark):
     assert bad == 0
     assert decoded.count() == full.where("length(content) > 0").count()
 
-    # doc-level incremental manifest equals the one-shot manifest
+    # doc-level incremental manifests union to the one-shot manifest
     from dedup_gpu_stream_parallelism_spark.operators import exact as exact_op
 
     one_shot = exact_op.dedup_manifest(orig, "doc_id", "text")
-    inc_union = spark.read.parquet(
-        os.path.join(out1, "doc_manifest")
-    ).unionByName(spark.read.parquet(os.path.join(out2, "doc_manifest")))
     assert sorted(map(tuple, one_shot.collect())) == sorted(
-        map(tuple, inc_union.collect())
+        map(tuple, _union("doc_manifest").collect())
     )
+    # cumulative stats.json reflects ALL generations, not just the parent
+    stats = json.load(open(os.path.join(outs[2], "stats.json")))
+    assert stats["n_chunk_refs"] == _union("chunk_manifest").count()
+    assert stats["n_unique_chunks"] == union_store.count()
