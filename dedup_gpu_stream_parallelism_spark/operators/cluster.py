@@ -45,32 +45,39 @@ def connected_components(
     )
 
     for _ in range(max_iterations):
-        # neighbor-min: every vertex receives its neighbors' current labels
+        # neighbor-min: every vertex receives its neighbors' current labels.
+        # The vertex's own row is tagged with its previous label so the
+        # convergence check rides along in the SAME aggregation — no second
+        # join-with-old-labels pass.
         msgs = sym.join(labels, sym.src == labels.v).select(
-            F.col("dst").alias("v"), F.col("lab")
+            F.col("dst").alias("v"), F.col("lab"),
+            F.lit(None).cast("bigint").alias("_old"),
         )
-        new_labels = (
-            msgs.unionByName(labels.select("v", "lab"))
+        merged = (
+            msgs.unionByName(
+                labels.select("v", "lab", F.col("lab").alias("_old"))
+            )
             .groupBy("v")
-            .agg(F.min("lab").alias("lab"))
+            .agg(F.min("lab").alias("lab"), F.max("_old").alias("old_lab"))
         )
         # pointer jumping: lab := lab(lab)
-        l2 = new_labels.select(
-            F.col("v").alias("p"), F.col("lab").alias("plab")
-        )
+        l2 = merged.select(F.col("v").alias("p"), F.col("lab").alias("plab"))
+        jumped = F.coalesce("plab", "lab")
         new_labels = (
-            new_labels.join(l2, new_labels.lab == l2.p, "left")
-            .select("v", F.coalesce("plab", "lab").alias("lab"))
-            .localCheckpoint()
+            merged.join(l2, merged.lab == l2.p, "left")
+            .select(
+                "v",
+                jumped.alias("lab"),
+                (jumped != F.col("old_lab")).cast("int").alias("chg"),
+            )
+            # LAZY checkpoint: the aggregation below is the round's ONE
+            # action — it materializes the checkpoint (cutting lineage, as
+            # before) and returns the changed count in the same job.
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "v")
-            .where(F.col("n.lab") != F.col("o.lab"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        changed = new_labels.agg(F.sum("chg")).first()[0]
+        labels = new_labels.select("v", "lab")
+        if not changed:
             break
 
     return labels.select(F.col("v").alias(id_col), F.col("lab").alias("cluster_id"))
