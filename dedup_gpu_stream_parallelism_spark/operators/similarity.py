@@ -207,7 +207,8 @@ def ann_lsh_topk(
     n_tables-fold) + one on vec_id for the merge — the distributable path
     when the index cannot be broadcast.  Recall ≈ 1-(1-p^b)^L per neighbour
     with p = 1-θ/π; raise n_tables (cost linear) or lower n_planes (bucket
-    sizes grow) to trade cost for recall.
+    sizes grow) to trade cost for recall.  Size n_planes from the index
+    count with ``derive_lsh_planes`` (the shipping driver queries do).
 
     Approximate by construction → no SQL oracle (driver rows-only check);
     tests assert recall against ``cosine_topk``.
@@ -629,9 +630,10 @@ def ann_near_dup_pairs(
     One bucket-key groupBy (rows replicated n_tables-fold) + one pair-dedup
     groupBy.  SCALE CONTRACT: expected bucket size is n / 2^n_planes per
     table, so **n_planes must grow ~log2(n)** (e.g. 2^20 vectors want
-    n_planes ≈ 14-16) for the in-bucket GEMM to stay bounded — the default
-    n_planes=4 is a SMALL-data setting.  ``max_bucket`` adds a hard cap as
-    a backstop: oversized buckets are truncated to their ``max_bucket``
+    n_planes ≈ 14-16) for the in-bucket GEMM to stay bounded — use
+    ``derive_lsh_planes(n)`` (the shipping driver queries do) rather than
+    the small-data default of 4.  ``max_bucket`` adds a hard cap as a
+    backstop: oversized buckets are truncated to their ``max_bucket``
     smallest vec_ids (deterministic; trades recall inside viral buckets
     for a bounded worst-case task, like the LSH star cap in the text
     path — other tables still see the dropped members).

@@ -27,6 +27,29 @@ sys.path.insert(0, REPO)
 import bench  # noqa: E402
 
 
+def round_artifact_path() -> str:
+    """Per-round scaling artifact next to the driver's BENCH_r{N}.json:
+    the CURRENT round is one past the last recorded bench round (the driver
+    writes BENCH_rN at round end), so evidence produced during round N+1
+    lands in SCALING_r{N+1}.json."""
+    import re
+
+    rounds = [
+        int(m.group(1))
+        for f in os.listdir(REPO)
+        if (m := re.match(r"BENCH_r(\d+)\.json$", f))
+    ]
+    n = (max(rounds) + 1) if rounds else 1
+    return os.path.join(REPO, f"SCALING_r{n:02d}.json")
+
+
+def write_round_artifact(payload: dict) -> str:
+    path = round_artifact_path()
+    with open(path, "w") as f:
+        json.dump(payload, f, indent=1)
+    return path
+
+
 def ensure_corpus(n_files: int, seed: int = 42) -> str:
     path = os.path.join(REPO, ".bench", f"corpus_{n_files}_{seed}.parquet")
     if os.path.exists(os.path.join(path, "_SUCCESS")):
@@ -119,7 +142,11 @@ subprocess-isolated JVM per level, python workers pre-warmed.
 """
         with open(os.path.join(REPO, "BENCH.md"), "a") as f:
             f.write(md)
-        print(json.dumps({"sweep": rows}))
+        art = write_round_artifact(
+            {"kind": "core_sweep", "n_files": args.n_files,
+             "strategy": args.strategy, "sweep": rows}
+        )
+        print(json.dumps({"sweep": rows, "artifact": art}))
         return
 
     corpus = ensure_corpus(args.n_files)
@@ -150,10 +177,27 @@ pre-warmed at both levels.
 | {4 * args.n_cores} | {hi['sec']} | {hi['files_per_sec']} |
 
 **Speedup {result['speedup']}x over 4x cores → scaling efficiency
-{result['value']}** (north-rule target >= 0.8).
+{result['value']}** (north-rule target >= 0.8).  Machine-readable copy:
+`{os.path.basename(round_artifact_path())}`.
 """
     with open(os.path.join(REPO, "BENCH.md"), "a") as f:
         f.write(md)
+    art = write_round_artifact(
+        {
+            "kind": "n_vs_4n",
+            "metric": "scaling_efficiency",
+            "value": result["value"],
+            "speedup": result["speedup"],
+            "n_cores": args.n_cores,
+            "levels": result["levels"],
+            "n_files": args.n_files,
+            "strategy": args.strategy,
+            "host_note": "guest delivers ~18 effective cores (BENCH.md "
+                         "ceiling probe); N=2 vs 4N=8 is the widest honest "
+                         "4x span on real silicon",
+        }
+    )
+    result["artifact"] = art
     print(json.dumps(result))
 
 
