@@ -20,7 +20,7 @@ CASES = {
     "text_stats": "single scan, all expressions in one WholeStageCodegen project — no Python, no shuffle (final sort is the deterministic output order)",
     "event_window_stats": "partial HashAggregate BEFORE the exchange = map-side combine; IsNotNull(ts) pushed to the parquet scan; two-phase distinct for countDistinct",
     "lsh_candidates": "exactly ONE band-key exchange: partial ObjectHashAggregate (collect_set) map-side, pair expansion via Generate (JVM array exprs), then 2-phase distinct",
-    "cosine_topk": "index broadcast once; queries stream through a single MapInPandas — no join, no shuffle before the output sort",
+    "cosine_topk": "blocked exact kernel: cogrouped block-matrix GEMM (FlatMapCoGroupsInPandas), WindowGroupLimit re-rank — no driver collect at any index size",
     "simhash_near_dup": "slice groupBy exchange + two shuffle-hash joins to attach fingerprints; bit_count filter JVM-side",
     "embedding_near_dup": "NO driver collect: block-pair replication joins + one cogrouped FlatMapCoGroupsInPandas GEMM per block pair, then CC",
     "chunk_roundtrip_check": "chunk store groupBy has partial_first map-side; decode = one sha join + one doc_id aggregation (sort-order concat inside)",
