@@ -505,6 +505,20 @@ def q_stream_near_dup_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "matched_id")
 
 
+def q_stream_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The watermarked tumbling-window aggregation under the oracle:
+    events replayed in event-time order (sentinel closes the final
+    window), final append-mode output must equal the batch GROUP BY
+    (streaming/replay.py determinism note)."""
+    from dedup_gpu_stream_parallelism_spark.streaming import replay
+
+    work = replay.fresh_workdir("window", sf_dir)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return replay.stream_window_stats_replay(spark, ev, work).orderBy(
+        "window_start_epoch", "event_type"
+    )
+
+
 def q_tpch_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-flavor rollup over lineitem: predicate pushed to the scan,
     partial aggregation map-side, fixed-point integer sums so the oracle
@@ -598,6 +612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_payload_dedup": q_media_payload_dedup,
         "stream_dedup_replay": q_stream_dedup_replay,
         "stream_near_dup_matches": q_stream_near_dup_matches,
+        "stream_window_stats": q_stream_window_stats,
         "tpch_pricing_summary": q_tpch_pricing_summary,
         "tpch_region_revenue": q_tpch_region_revenue,
     }
@@ -765,6 +780,19 @@ def oracle_sql() -> dict[str, str]:
             FROM h ORDER BY doc_id
         """,
         "stream_near_dup_matches": duck_sql.stream_matches_sql(CFG),
+        "stream_window_stats": """
+            -- time-ordered replay + sentinel flush: the stream's final
+            -- append output is exactly the batch rollup (no n_users —
+            -- distinct counts are approximate on unbounded streams)
+            SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT)
+                     AS window_start_epoch,
+                   event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS BIGINT)
+                     AS sum_value_micro
+            FROM events
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
         "tpch_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(COUNT(*) AS BIGINT) AS n_items,

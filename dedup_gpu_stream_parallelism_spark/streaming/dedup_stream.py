@@ -361,27 +361,43 @@ def windowed_event_stats(
     events: DataFrame,
     window: str = "1 hour",
     watermark: str = "2 hours",
+    exact_ints: bool = False,
 ) -> DataFrame:
     """Watermarked tumbling-window aggregation over the events stream —
     late data beyond the watermark is dropped, state is bounded (the
     streaming analog of the reference's bounded reorder window,
-    src/encoder.cpp:1214-1359)."""
+    src/encoder.cpp:1214-1359).
+
+    ``exact_ints=True`` emits the oracle-comparable shape (epoch start,
+    integer fixed-point sum, no approximate distinct): the columns whose
+    values are independent of partial-aggregation order, used by the
+    deterministic replay query (streaming/replay.py)."""
     # watermarks need TIMESTAMP (not NTZ — parquet default)
     events = events.withColumn("ts", F.col("ts").cast("timestamp"))
-    return (
-        events.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
-        .agg(
+    grouped = events.withWatermark("ts", watermark).groupBy(
+        F.window("ts", window).alias("w"), F.col("event_type")
+    )
+    if exact_ints:
+        return grouped.agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
-            F.approx_count_distinct("user_id").alias("approx_users"),
-        )
-        .select(
-            F.col("w.start").alias("window_start"),
-            F.col("w.end").alias("window_end"),
+            F.sum(F.floor(F.col("value") * 1000000.0).cast("long")).alias(
+                "sum_value_micro"
+            ),
+        ).select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_epoch"),
             "event_type",
             "n_events",
-            "sum_value",
-            "approx_users",
+            "sum_value_micro",
         )
+    return grouped.agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+        F.approx_count_distinct("user_id").alias("approx_users"),
+    ).select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "event_type",
+        "n_events",
+        "sum_value",
+        "approx_users",
     )

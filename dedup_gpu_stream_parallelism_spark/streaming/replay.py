@@ -30,6 +30,7 @@ from dedup_gpu_stream_parallelism_spark.config import DedupConfig
 from dedup_gpu_stream_parallelism_spark.streaming.dedup_stream import (
     NearDupStream,
     exact_dedup_stream,
+    windowed_event_stats,
 )
 
 #: batch count used by the driver replay queries AND their oracle SQL —
@@ -153,3 +154,80 @@ def stream_near_dup_replay(
     query = nds.attach(stream, os.path.join(workdir, "checkpoint")).start()
     query.awaitTermination()
     return spark.read.parquet(nds.out_dir).select("doc_id", "matched_id")
+
+
+SENTINEL_TYPE = "__sentinel"
+
+
+def stream_window_stats_replay(
+    spark: SparkSession,
+    events: DataFrame,
+    workdir: str,
+    n_batches: int = REPLAY_BATCHES,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Run the watermarked tumbling-window aggregation
+    (``windowed_event_stats``, exact-int shape) over a bounded
+    event-time-ordered replay and return the final closed-window table.
+
+    Determinism: events are staged in (ts, event_id) order, so the
+    watermark advances monotonically batch to batch and no real event is
+    ever late — append mode then emits every real window exactly once.  A
+    single SENTINEL event 4h past max(ts), staged as its own final
+    micro-batch, pushes the watermark past the last real window's end so
+    it closes before the stream terminates (the sentinel's own window
+    never closes and is never emitted).  Result == the batch GROUP BY —
+    the window-stats twin of the dedup replay oracle.
+    """
+    from datetime import timedelta
+
+    from pyspark.sql import Window
+
+    ev = events.select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_type",
+        "user_id",
+        "value",
+    )
+    # replay ids in event-time order → range batches = time-ordered batches
+    rid = ev.withColumn(
+        "rid",
+        F.row_number().over(Window.orderBy("ts", "event_id")).cast("bigint") - 1,
+    ).select("rid", "ts", "event_type", "user_id", "value")
+    srcdir = os.path.join(workdir, "src")
+    stage_range_batches(rid, srcdir, n_batches, id_col="rid")
+    n, max_ts = rid.agg(F.count("*"), F.max("ts")).first()
+    sentinel = spark.createDataFrame(
+        [(int(n), max_ts + timedelta(hours=4), SENTINEL_TYPE, 0, 0.0)],
+        rid.schema,
+    )
+    sfile = os.path.join(srcdir, f"{n_batches:04d}.parquet")
+    stage = os.path.join(srcdir, "_stage_sentinel")
+    sentinel.coalesce(1).write.mode("overwrite").parquet(stage)
+    data = [f for f in os.listdir(stage) if f.endswith(".parquet")]
+    os.replace(os.path.join(stage, data[0]), sfile)
+    shutil.rmtree(stage)
+    # strictly newest mtime: processed as the final micro-batch
+    t_last = time.time() - 3600.0 + 10.0 * n_batches
+    os.utime(sfile, (t_last, t_last))
+
+    stream = (
+        spark.readStream.schema(rid.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcdir)
+    )
+    outdir = os.path.join(workdir, "out")
+    query = (
+        windowed_event_stats(stream, window, watermark, exact_ints=True)
+        .writeStream.format("parquet")
+        .option("path", outdir)
+        .option("checkpointLocation", os.path.join(workdir, "checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.read.parquet(outdir).where(
+        F.col("event_type") != SENTINEL_TYPE
+    )
