@@ -199,6 +199,13 @@ def stream_window_stats_replay(
     srcdir = os.path.join(workdir, "src")
     stage_range_batches(rid, srcdir, n_batches, id_col="rid")
     n, max_ts = rid.agg(F.count("*"), F.max("ts")).first()
+    if not n:
+        # no events → no windows; nothing for a sentinel to flush
+        return spark.createDataFrame(
+            [],
+            "window_start_epoch bigint, event_type string, "
+            "n_events bigint, sum_value_micro bigint",
+        )
     sentinel = spark.createDataFrame(
         [(int(n), max_ts + timedelta(hours=4), SENTINEL_TYPE, 0, 0.0)],
         rid.schema,
