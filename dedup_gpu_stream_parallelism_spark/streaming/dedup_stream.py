@@ -176,15 +176,23 @@ class NearDupStream:
         trash = path + ".trash"
         if os.path.exists(trash) and not os.path.exists(path):
             os.rename(trash, path)
-            if os.path.isdir(tmp):
-                for e in os.listdir(tmp):
-                    dst = os.path.join(path, e)
-                    if (
-                        e.startswith("batch_id=")
-                        and e != "batch_id=-1"
-                        and not os.path.exists(dst)
-                    ):
-                        os.rename(os.path.join(tmp, e), dst)
+        # The tmp-pull is UNCONDITIONAL (re-entrant): a crash inside a
+        # previous _recover after the trash rename but before the pull
+        # leaves trash gone, path present, and the newest batches still
+        # stranded under tmp — they must be rescued before any cleanup
+        # rmtree's the tmp dir.  In the only state where tmp coexists
+        # with an intact index mid-crash, tmp holds the redundant
+        # batch_id=-1 generation (skipped) plus possibly-moved real
+        # batches absent from path (pulled).
+        if os.path.isdir(tmp) and os.path.isdir(path):
+            for e in os.listdir(tmp):
+                dst = os.path.join(path, e)
+                if (
+                    e.startswith("batch_id=")
+                    and e != "batch_id=-1"
+                    and not os.path.exists(dst)
+                ):
+                    os.rename(os.path.join(tmp, e), dst)
 
     def _texts_path(self) -> str:
         return os.path.join(self.index_dir, "texts")

@@ -38,6 +38,25 @@ from dedup_gpu_stream_parallelism_spark.streaming.dedup_stream import (
 REPLAY_BATCHES = 4
 
 
+def _mtime_at(slot: int) -> float:
+    """Slot *i*'s staged-file mtime: firmly in the past, strictly ascending
+    with i, and stable across the seconds a staging sequence takes (floor
+    of the clock so slot ordering can never interleave with wall time)."""
+    return float(int(time.time())) - 3600.0 + 10.0 * slot
+
+
+def _stage_single_file(df: DataFrame, dst: str, mtime: float) -> None:
+    """Write ``df`` as exactly one parquet file at ``dst`` with the given
+    mtime — the staging ritual shared by the range slices and the sentinel
+    (one writer, so a fix to it cannot desynchronize the two)."""
+    stage = dst + ".staging"
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    data = [f for f in os.listdir(stage) if f.endswith(".parquet")]
+    os.replace(os.path.join(stage, data[0]), dst)
+    shutil.rmtree(stage)
+    os.utime(dst, (mtime, mtime))
+
+
 def stage_range_batches(
     docs: DataFrame,
     srcdir: str,
@@ -55,25 +74,30 @@ def stage_range_batches(
     n = docs.count()
     per = max(1, -(-n // n_batches))
     os.makedirs(srcdir, exist_ok=True)
-    base = time.time() - 3600.0  # firmly in the past, ascending
     for i in range(n_batches):
         lo, hi = i * per, (i + 1) * per
         part = docs.where((F.col(id_col) >= lo) & (F.col(id_col) < hi))
-        stage = os.path.join(srcdir, f"_stage_{i}")
-        part.coalesce(1).write.mode("overwrite").parquet(stage)
-        data = [f for f in os.listdir(stage) if f.endswith(".parquet")]
-        dst = os.path.join(srcdir, f"{i:04d}.parquet")
-        os.replace(os.path.join(stage, data[0]), dst)
-        shutil.rmtree(stage)
-        os.utime(dst, (base + 10.0 * i, base + 10.0 * i))
+        _stage_single_file(
+            part, os.path.join(srcdir, f"{i:04d}.parquet"), _mtime_at(i)
+        )
     return per
 
 
 def fresh_workdir(tag: str, sf_dir: str) -> str:
-    """Per-(query, dataset) scratch dir under /tmp, wiped on entry so reruns
-    never resume a finished checkpoint (bounded: one live copy per tag)."""
-    name = os.path.basename(os.path.normpath(sf_dir)) or "data"
-    work = os.path.join("/tmp", "spark_graft_stream", f"{tag}_{name}")
+    """Per-(query, dataset, process) scratch dir under /tmp, wiped on entry
+    so reruns never resume a finished checkpoint.  The pid component keeps
+    concurrent sessions (driver grading while a bench runs) from wiping
+    each other's live stream state; the path hash disambiguates datasets
+    sharing a basename.  Bounded: one live copy per (tag, dataset) within
+    a process; dirs of dead processes are ordinary /tmp garbage."""
+    import hashlib
+
+    digest = hashlib.md5(
+        os.path.abspath(sf_dir).encode()
+    ).hexdigest()[:8]
+    work = os.path.join(
+        "/tmp", "spark_graft_stream", f"{tag}_{digest}_{os.getpid()}"
+    )
     shutil.rmtree(work, ignore_errors=True)
     os.makedirs(work, exist_ok=True)
     return work
@@ -210,15 +234,12 @@ def stream_window_stats_replay(
         [(int(n), max_ts + timedelta(hours=4), SENTINEL_TYPE, 0, 0.0)],
         rid.schema,
     )
-    sfile = os.path.join(srcdir, f"{n_batches:04d}.parquet")
-    stage = os.path.join(srcdir, "_stage_sentinel")
-    sentinel.coalesce(1).write.mode("overwrite").parquet(stage)
-    data = [f for f in os.listdir(stage) if f.endswith(".parquet")]
-    os.replace(os.path.join(stage, data[0]), sfile)
-    shutil.rmtree(stage)
-    # strictly newest mtime: processed as the final micro-batch
-    t_last = time.time() - 3600.0 + 10.0 * n_batches
-    os.utime(sfile, (t_last, t_last))
+    # slot n_batches = strictly newest mtime: processed as the final batch
+    _stage_single_file(
+        sentinel,
+        os.path.join(srcdir, f"{n_batches:04d}.parquet"),
+        _mtime_at(n_batches),
+    )
 
     stream = (
         spark.readStream.schema(rid.schema)

@@ -31,24 +31,41 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 
+def _fs_exists(spark: SparkSession, path: str) -> bool:
+    """Existence check through Hadoop's FileSystem API — works on every
+    filesystem Spark itself can read (local, HDFS, s3a, ...)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()).exists(p)
+
+
 def resolve_chain(spark: SparkSession, append_to: str) -> list[str]:
     """Full ancestry of an append chain, nearest generation first.
 
     Each output dir records its own --append-to parent in ``_lineage/``
     (written via the DataFrame JSON writer so any Spark-supported
-    filesystem works).  Pre-lineage outputs (written before this scheme)
-    terminate the chain — they were necessarily full encodes, since
-    chained appends were previously rejected by data corruption, so the
-    chain is complete."""
+    filesystem works).  An output with NO ``_lineage`` dir HARD-FAILS:
+    it may be a pre-lineage append (which holds only its own novel
+    chunks), and silently treating it as a chain terminus would re-store
+    ancestor chunks and corrupt the cumulative archive — the exact bug
+    lineage tracking exists to prevent.  Re-encode such archives once (or
+    create a ``_lineage`` dir by hand for a known full encode).  A READ
+    error on an existing ``_lineage`` propagates: truncating the chain on
+    a transient failure would corrupt silently."""
     chain: list[str] = []
     cur: str | None = append_to
     while cur and cur not in chain:  # cycle guard
         chain.append(cur)
-        try:
-            row = spark.read.json(os.path.join(cur, "_lineage")).first()
-            cur = row["append_to"] if row and row["append_to"] else None
-        except Exception:
-            cur = None
+        lineage = os.path.join(cur, "_lineage")
+        if not _fs_exists(spark, lineage):
+            raise ValueError(
+                f"--append-to chain member {cur!r} has no _lineage dir: "
+                "cannot prove it is a full encode (a pre-lineage append "
+                "holds only its own novel chunks). Re-encode it, or write "
+                "a _lineage dir recording its true parent."
+            )
+        row = spark.read.json(lineage).first()
+        cur = row["append_to"] if row and row["append_to"] else None
     return chain
 
 
