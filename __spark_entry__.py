@@ -302,14 +302,17 @@ def q_compression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_compression_roundtrip_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compression validated BY DECODE, like the reference decoder
-    (decoder.cpp:107-197): unique store → compress (gzip AND bzip2) →
-    decompress → per-payload sha256 re-verify.  Puts the K2/K3 codecs
-    under the hard oracle signal (one row per unique payload per codec)."""
+    (decoder.cpp:107-197): unique store → compress (none, gzip AND bzip2)
+    → decompress → per-payload sha256 re-verify.  Puts the K1/K2/K3
+    codecs under the hard oracle signal (one row per unique payload per
+    codec)."""
     from dedup_gpu_stream_parallelism_spark.operators import compress as cz
 
     _, store = exact_op.encode_store(_docs(spark, sf_dir), "doc_id", "text")
-    both = cz.compress_store(store, cz.COMPRESS_GZIP).unionByName(
-        cz.compress_store(store, cz.COMPRESS_BZIP2)
+    both = (
+        cz.compress_store(store, cz.COMPRESS_NONE)
+        .unionByName(cz.compress_store(store, cz.COMPRESS_GZIP))
+        .unionByName(cz.compress_store(store, cz.COMPRESS_BZIP2))
     )
     return (
         cz.decompress_store(both)
@@ -736,7 +739,7 @@ def oracle_sql() -> dict[str, str]:
             -- decode-validated compression: every unique payload must
             -- round-trip through each codec with its sha intact
             WITH u AS (SELECT DISTINCT sha256(text) AS sha256 FROM documents),
-                 c(compress_type) AS (VALUES ('gzip'), ('bzip2'))
+                 c(compress_type) AS (VALUES ('none'), ('gzip'), ('bzip2'))
             SELECT u.sha256, c.compress_type, 1 AS sha_ok
             FROM u CROSS JOIN c
             ORDER BY sha256, compress_type
