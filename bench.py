@@ -88,6 +88,12 @@ def run_flagship_once(
     from dedup_gpu_stream_parallelism_spark.plans.pipeline import run_pipeline
     from dedup_gpu_stream_parallelism_spark.session import build_session
 
+    # max(cpus, 8) shuffle partitions — the configuration every recorded
+    # scaling artifact used.  (A 4*cpus experiment measurably improved the
+    # candidate-pair shuffle stage, 44->30 s at 8 cores, but the gain was
+    # smaller than this host's run-to-run noise in the UDF stages, so the
+    # recorded config is kept; on a real cluster size shuffle partitions
+    # to ~2-4 waves per total core as the pipeline docs describe.)
     spark = build_session(f"scaling-{cpus}", cpus=cpus, shuffle_partitions=max(cpus, 8))
     path = input_path or f"{sf_dir}/documents.parquet"
     docs = spark.read.parquet(path)
