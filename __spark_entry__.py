@@ -10,6 +10,7 @@ bit-identical signatures.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -230,6 +231,21 @@ def q_chunk_roundtrip_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return store_op.chunk_roundtrip_check(
         _docs(spark, sf_dir), CFG, "doc_id", "text"
+    ).orderBy("doc_id")
+
+
+def q_ddp_roundtrip_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's on-disk contract SPOKEN LITERALLY: docs exported as
+    sharded ``.ddp`` typed-record byte streams (CHECKBIT header, SHA-1
+    fingerprints for repeats, zlib payloads — util.cpp:45-75,
+    encoder.cpp:185-198/236-277), re-imported by walking the records, and
+    sha256 re-verified per doc (sources/ddp_format.py)."""
+    from dedup_gpu_stream_parallelism_spark.sources import ddp_format as ddp_fmt
+    from dedup_gpu_stream_parallelism_spark.streaming import replay
+
+    work = replay.fresh_workdir("ddp", sf_dir)
+    return ddp_fmt.ddp_roundtrip_check(
+        _docs(spark, sf_dir), os.path.join(work, "ddp"), CFG
     ).orderBy("doc_id")
 
 
@@ -589,6 +605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "confirmed_pairs": q_confirmed_pairs,
         "roundtrip_check": q_roundtrip_check,
         "chunk_roundtrip_check": q_chunk_roundtrip_check,
+        "ddp_roundtrip_check": q_ddp_roundtrip_check,
         "chunk_store_stats": q_chunk_store_stats,
         "incremental_chunk_store_stats": q_incremental_chunk_store_stats,
         "compression_payload_stats": q_compression_payload_stats,
@@ -730,6 +747,13 @@ def oracle_sql() -> dict[str, str]:
             FROM m
         """,
         "chunk_roundtrip_check": duck_sql.chunk_roundtrip_sql(),
+        # byte-stream round trip: every doc must survive the .ddp
+        # export/import with its sha intact (ASCII corpus: sha256(text)
+        # == sha256 of the utf-8 payload bytes)
+        "ddp_roundtrip_check": """
+            SELECT doc_id, sha256(text) AS sha256, 1 AS sha_ok
+            FROM documents ORDER BY doc_id
+        """,
         "chunk_store_stats": duck_sql.chunk_store_stats_sql(),
         # increment(first half) ∪ increment-append(second half) must equal
         # the one-shot archive — same oracle

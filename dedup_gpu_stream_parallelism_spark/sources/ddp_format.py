@@ -1,0 +1,266 @@
+"""Faithful ``.ddp`` typed-record byte-stream export/import.
+
+The engine's native storage is columnar (manifest + unique-chunk store,
+operators/store.py) — but the reference's on-disk contract is a byte
+stream, and this module speaks it exactly, so a user of the reference can
+hand files across.  Format (re-implemented from the reference's behavior,
+NOT its code):
+
+* header — little-endian ``int32 CHECKBIT=123456`` then one
+  ``compress_type`` byte (/root/reference/src/util.cpp:65-75,
+  src/dedupdef.h:13; gzip=0, bzip2=1, none=2 per dedupdef.h:214-216);
+* record — ``u8 type`` + ``u64 len`` + ``len`` payload bytes
+  (write_file, src/encoder.cpp:185-198): ``TYPE_COMPRESS=1`` carries a
+  unique chunk's compressed bytes, ``TYPE_FINGERPRINT=0`` carries the
+  20-byte SHA-1 of a chunk whose payload appeared earlier in the stream
+  (write_chunk_to_file, src/encoder.cpp:236-277);
+* import hard-fails on a bad CHECKBIT (read_header, src/util.cpp:53-56)
+  and on a fingerprint with no earlier payload (Decode,
+  src/decoder.cpp:268-271).
+
+Spark-first sharding: the corpus exports as N independent ``.ddp``
+shards — ``repartitionByRange(doc_id)`` + ``sortWithinPartitions(doc_id,
+chunk_idx)`` gives each shard a contiguous doc range in stream order, and
+one Arrow-batched pass per shard writes the byte stream (dedup scope is
+per-shard: each shard is a self-contained, reference-decodable stream;
+the reference's single-file output is the one-shard case).  A sidecar
+``_doc_index`` parquet (shard_id, doc_id, n_chunks) records how many
+stream records belong to each doc so import can re-split the chunk
+sequence; import joins it per-shard (no driver broadcast) and walks each
+shard independently — embarrassingly parallel at any shard count.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dedup_gpu_stream_parallelism_spark.config import DedupConfig
+from dedup_gpu_stream_parallelism_spark.operators.chunk import chunk_documents
+
+CHECKBIT = 123456
+TYPE_FINGERPRINT = 0
+TYPE_COMPRESS = 1
+# compress_type header byte values (dedupdef.h:214-216)
+CT_GZIP, CT_BZIP2, CT_NONE = 0, 1, 2
+_CT_BYTE = {"gzip": CT_GZIP, "bzip2": CT_BZIP2, "none": CT_NONE}
+SHA1_LEN = 20
+
+
+def _codecs(compress_type: str):
+    import bz2
+    import zlib
+
+    if compress_type == "gzip":
+        return zlib.compress, zlib.decompress
+    if compress_type == "bzip2":
+        return (lambda b: bz2.compress(b, 9)), bz2.decompress
+    if compress_type == "none":
+        return (lambda b: b), (lambda b: b)
+    raise ValueError(f"unknown compress_type {compress_type!r}")
+
+
+def pack_header(compress_type: str) -> bytes:
+    return struct.pack("<i", CHECKBIT) + struct.pack("B", _CT_BYTE[compress_type])
+
+
+def pack_record(rtype: int, payload: bytes) -> bytes:
+    return struct.pack("<B", rtype) + struct.pack("<Q", len(payload)) + payload
+
+
+def export_ddp(
+    docs: DataFrame,
+    out_dir: str,
+    cfg: DedupConfig | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int | None = None,
+    compress_type: str = "gzip",
+) -> DataFrame:
+    """Write ``docs`` as ``shard-NNNNN.ddp`` byte streams under ``out_dir``
+    plus the ``_doc_index`` sidecar; returns the doc-index DataFrame.
+
+    ``out_dir`` must be a path every executor can write (shared storage on
+    a cluster; any local dir in local mode).  Docs whose text is shorter
+    than one chunk (empty) produce no records and no index row — import's
+    caller left-joins the doc list, exactly like the columnar round trip.
+    """
+    from pyspark import TaskContext
+
+    cfg = cfg or DedupConfig()
+    spark = docs.sparkSession
+    enc, _ = _codecs(compress_type)
+    header = pack_header(compress_type)
+    os.makedirs(out_dir, exist_ok=True)
+
+    chunks = chunk_documents(
+        docs, cfg, id_col=id_col, text_col=text_col, with_payload=True
+    ).select("doc_id", "chunk_idx", "chunk_text")
+    n_shards = n_shards or spark.sparkContext.defaultParallelism
+    arranged = chunks.repartitionByRange(n_shards, "doc_id").sortWithinPartitions(
+        "doc_id", "chunk_idx"
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        ctx = TaskContext.get()
+        shard = ctx.partitionId() if ctx else 0
+        seen: set[bytes] = set()
+        stream = bytearray(header)
+        doc_ids: list[int] = []
+        doc_nchunks: list[int] = []
+        for pdf in batches:
+            for doc_id, payload in zip(pdf["doc_id"], pdf["chunk_text"]):
+                raw = payload.encode("utf-8") if isinstance(payload, str) else bytes(payload)
+                sha1 = hashlib.sha1(raw).digest()
+                if sha1 in seen:
+                    stream += pack_record(TYPE_FINGERPRINT, sha1)
+                else:
+                    seen.add(sha1)
+                    stream += pack_record(TYPE_COMPRESS, enc(raw))
+                if not doc_ids or doc_ids[-1] != int(doc_id):
+                    doc_ids.append(int(doc_id))
+                    doc_nchunks.append(0)
+                doc_nchunks[-1] += 1
+        # header-only shards are valid streams too (empty range partition)
+        path = os.path.join(out_dir, f"shard-{shard:05d}.ddp")
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(bytes(stream))
+        os.replace(tmp, path)
+        yield pd.DataFrame(
+            {
+                "shard_id": pd.array([shard] * len(doc_ids), dtype="int32"),
+                "doc_id": pd.array(doc_ids, dtype="int64"),
+                "n_chunks": pd.array(doc_nchunks, dtype="int64"),
+            }
+        )
+
+    index = arranged.mapInPandas(
+        gen, schema="shard_id int, doc_id bigint, n_chunks bigint"
+    )
+    index.write.mode("overwrite").parquet(os.path.join(out_dir, "_doc_index"))
+    return spark.read.parquet(os.path.join(out_dir, "_doc_index"))
+
+
+def import_ddp(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Decode every shard back to ``(doc_id, data binary)``.
+
+    One binaryFile scan of the shards joined (on shard_id — no driver
+    broadcast) with the per-shard doc index, then an independent record
+    walk per shard: TYPE_COMPRESS → decompress, SHA-1, remember;
+    TYPE_FINGERPRINT → look up (hard error if unknown — the decoder's
+    referential-integrity fail, decoder.cpp:268-271).  Chunks re-split
+    into docs by the index's per-doc record counts.
+    """
+    import glob
+
+    if not glob.glob(os.path.join(out_dir, "shard-*.ddp")):
+        # empty corpus exported zero shards (every partition empty before
+        # the UDF ran) — nothing to decode
+        return spark.createDataFrame([], "doc_id bigint, data binary")
+    shards = (
+        spark.read.format("binaryFile")
+        .load(os.path.join(out_dir, "shard-*.ddp"))
+        .select(
+            F.regexp_extract(F.col("path"), r"shard-(\d+)\.ddp$", 1)
+            .cast("int")
+            .alias("shard_id"),
+            "content",
+        )
+    )
+    index = (
+        spark.read.parquet(os.path.join(out_dir, "_doc_index"))
+        .groupBy("shard_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("doc_id", "n_chunks"))
+            ).alias("docs")
+        )
+    )
+    joined = shards.join(index, "shard_id", "left")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            out_ids: list[int] = []
+            out_data: list[bytes] = []
+            for blob, docs in zip(pdf["content"], pdf["docs"]):
+                blob = bytes(blob)
+                if len(blob) < 5:
+                    raise ValueError("truncated .ddp header")
+                (checkbit,) = struct.unpack_from("<i", blob, 0)
+                if checkbit != CHECKBIT:
+                    raise ValueError(f"format error: CHECKBIT {checkbit}")
+                ct_byte = blob[4]
+                ct = {v: k for k, v in _CT_BYTE.items()}[ct_byte]
+                _, dec = _codecs(ct)
+                pos = 5
+                table: dict[bytes, bytes] = {}
+                chunks: list[bytes] = []
+                while pos < len(blob):
+                    rtype = blob[pos]
+                    (length,) = struct.unpack_from("<Q", blob, pos + 1)
+                    payload = blob[pos + 9 : pos + 9 + length]
+                    pos += 9 + length
+                    if rtype == TYPE_COMPRESS:
+                        raw = dec(payload)
+                        table[hashlib.sha1(raw).digest()] = raw
+                        chunks.append(raw)
+                    elif rtype == TYPE_FINGERPRINT:
+                        if payload not in table:
+                            raise ValueError(
+                                "referential integrity violated: fingerprint "
+                                "with no earlier payload"
+                            )
+                        chunks.append(table[payload])
+                    else:
+                        raise ValueError(f"unknown record type {rtype}")
+                at = 0
+                for d in docs if docs is not None else []:
+                    n = int(d["n_chunks"])
+                    out_ids.append(int(d["doc_id"]))
+                    out_data.append(b"".join(chunks[at : at + n]))
+                    at += n
+                if docs is not None and at != len(chunks):
+                    raise ValueError("doc index does not cover the stream")
+            yield pd.DataFrame({"doc_id": out_ids, "data": out_data})
+
+    return joined.mapInPandas(gen, schema="doc_id bigint, data binary")
+
+
+def ddp_roundtrip_check(
+    docs: DataFrame,
+    out_dir: str,
+    cfg: DedupConfig | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    compress_type: str = "gzip",
+) -> DataFrame:
+    """Export → import → per-doc sha256 re-verify: (doc_id, sha256,
+    sha_ok).  The byte-stream analog of ``chunk_roundtrip_check`` — docs
+    too short to chunk round-trip to empty via the left join."""
+    spark = docs.sparkSession
+    export_ddp(
+        docs, out_dir, cfg, id_col=id_col, text_col=text_col,
+        compress_type=compress_type,
+    )
+    decoded = import_ddp(spark, out_dir)
+    orig = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.sha2(F.col(text_col), 256).alias("sha256"),
+    )
+    return orig.join(decoded, "doc_id", "left").select(
+        "doc_id",
+        "sha256",
+        (F.sha2(F.coalesce(F.col("data"), F.lit(b"")), 256) == F.col("sha256"))
+        .cast("int")
+        .alias("sha_ok"),
+    )
