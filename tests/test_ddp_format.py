@@ -78,6 +78,32 @@ def test_duplicate_chunks_become_fingerprints(spark, cfg, tmp_path):
     assert got == {i: text.encode() for i in range(6)}
 
 
+def test_binary_docs_roundtrip(spark, cfg, tmp_path):
+    """Arbitrary byte payloads (invalid UTF-8 included) survive the byte
+    stream verbatim — the format is bytes-native like the reference's
+    mbuffer contract; sha_ok is exact for binary (no ASCII caveat)."""
+    import random
+
+    rng = random.Random(31)
+    blobs = [bytes(rng.randrange(256) for _ in range(rng.randint(1, 700)))
+             for _ in range(25)]
+    blobs += blobs[:5]
+    docs = spark.createDataFrame(
+        [(i, b) for i, b in enumerate(blobs)], "doc_id bigint, data binary"
+    )
+    out = str(tmp_path / "ddp_bin")
+    res = ddp.ddp_roundtrip_check(docs, out, cfg, text_col="data").collect()
+    assert len(res) == len(blobs)
+    assert all(r.sha_ok == 1 for r in res)
+    got = {r.doc_id: bytes(r.data) for r in ddp.import_ddp(spark, out).collect()}
+    want = {i: b for i, b in enumerate(blobs)}
+    # docs below one chunk still appear (single-chunk docs); exact bytes
+    assert {k: got.get(k) for k in want if k in got} == {
+        k: want[k] for k in got
+    }
+    assert all(got[k] == want[k] for k in got)
+
+
 def test_import_rejects_bad_checkbit(spark, cfg, tmp_path):
     docs = spark.createDataFrame([(0, "x" * 100)], "doc_id bigint, text string")
     out = str(tmp_path / "ddp2")
