@@ -20,11 +20,63 @@ import argparse
 import json
 import os
 import sys
+import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-import bench  # noqa: E402
+# Idle-host guard (round-3 lesson: two 1M-file runs measured 0.78 under
+# residual host load vs 0.918 after true idle — SCALING_r03.json
+# "variance_note").  Baseline: single-thread sha256 of 512 MiB ≈ 0.37 s
+# (~1370 MiB/s) measured on this guest while idle, loadavg < 0.3.
+PROBE_BASELINE_SEC = 0.38
+PROBE_SLOWDOWN_MAX = 1.25   # probe slower than this ratio => host busy
+LOADAVG_1M_MAX = 1.5
+
+
+def cpu_probe() -> float:
+    """Single-thread sha256 over 512 MiB; wall seconds (idle ≈ 0.37 s)."""
+    import hashlib
+
+    buf = b"\xab" * (1 << 20)
+    t0 = time.perf_counter()
+    h = hashlib.sha256()
+    for _ in range(512):
+        h.update(buf)
+    return time.perf_counter() - t0
+
+
+def host_probe() -> dict:
+    load1 = float(open("/proc/loadavg").read().split()[0])
+    probe = cpu_probe()
+    ratio = probe / PROBE_BASELINE_SEC
+    return {
+        "loadavg_1m": load1,
+        "probe_sec": round(probe, 3),
+        "probe_slowdown": round(ratio, 3),
+        "idle": load1 <= LOADAVG_1M_MAX and ratio <= PROBE_SLOWDOWN_MAX,
+    }
+
+
+def wait_for_idle(max_wait_sec: int = 1800, poll_sec: int = 120) -> dict:
+    """Block until host_probe says idle (or max_wait expires); returns the
+    final probe dict with the attempt history attached.  Refusing outright
+    would waste an unattended 40-min run slot; waiting is strictly better."""
+    attempts = []
+    deadline = time.time() + max_wait_sec
+    while True:
+        p = host_probe()
+        attempts.append(p)
+        print(json.dumps({"host_probe": p}), flush=True)
+        if p["idle"] or time.time() >= deadline:
+            p = dict(p)
+            p["attempts"] = attempts
+            if not p["idle"]:
+                p["verdict"] = "TAINTED: started despite busy probe (max_wait expired)"
+            else:
+                p["verdict"] = "idle"
+            return p
+        time.sleep(poll_sec)
 
 
 def round_artifact_path() -> str:
@@ -150,17 +202,46 @@ subprocess-isolated JVM per level, python workers pre-warmed.
         return
 
     corpus = ensure_corpus(args.n_files)
-    result = bench.run_scaling(
-        sf_dir=os.path.dirname(corpus),
-        n=args.n_cores,
-        repeats=args.repeats,
-        input_path=corpus,
-        id_col="file_id",
-        text_col="content",
-        strategy=args.strategy,
-    )
-    result["n_files"] = args.n_files
-    result["strategy"] = args.strategy
+    # Probe-gated twin of bench.run_scaling: identical subprocess-isolated
+    # single-run invocations, plus a host_probe before every timed run so the
+    # artifact records whether each level ran on an idle host (VERDICT_r3 #8).
+    import subprocess
+
+    levels, probes = {}, {}
+    for cpus in (args.n_cores, 4 * args.n_cores):
+        best, lvl_probes = None, []
+        for _ in range(max(args.repeats, 1)):
+            lvl_probes.append(wait_for_idle())
+            out = subprocess.run(
+                [
+                    sys.executable, os.path.join(REPO, "bench.py"),
+                    "--single-run", str(cpus),
+                    "--sf-dir", os.path.dirname(corpus),
+                    "--input", corpus,
+                    "--id-col", "file_id", "--text-col", "content",
+                    "--strategy", args.strategy,
+                ],
+                capture_output=True, text=True, cwd=REPO, check=True,
+            )
+            r = json.loads(out.stdout.strip().splitlines()[-1])
+            print(json.dumps(r), flush=True)
+            if best is None or r["sec"] < best["sec"]:
+                best = r
+        levels[cpus] = best
+        probes[str(cpus)] = lvl_probes
+    lo_r, hi_r = levels[args.n_cores], levels[4 * args.n_cores]
+    eff = (hi_r["files_per_sec"] / lo_r["files_per_sec"]) / 4.0
+    result = {
+        "metric": "scaling_efficiency_Nx4N",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "n_cores": args.n_cores,
+        "levels": levels,
+        "speedup": round(hi_r["files_per_sec"] / lo_r["files_per_sec"], 2),
+        "host_probes": probes,
+        "n_files": args.n_files,
+        "strategy": args.strategy,
+    }
 
     lo = result["levels"][args.n_cores]
     hi = result["levels"][4 * args.n_cores]
@@ -192,6 +273,7 @@ pre-warmed at both levels.
             "levels": result["levels"],
             "n_files": args.n_files,
             "strategy": args.strategy,
+            "host_probes": probes,
             "host_note": "guest delivers ~18 effective cores (BENCH.md "
                          "ceiling probe); N=2 vs 4N=8 is the widest honest "
                          "4x span on real silicon",
