@@ -249,6 +249,24 @@ def q_ddp_roundtrip_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_ddp_lzss_roundtrip_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``.ddp`` byte-stream round trip at the reference's
+    benchmark-default codec: ``compress_type`` byte 3 = COMPRESS_LZSS
+    (dedupdef.h:217, selected by ``-w lzss``, dedup.cpp:113-114), unique
+    payloads carried as the literal 1+12+4-bit LZSS token stream
+    (functions/lzss_codec.py, fuzz-verified bit-exact against the
+    reference's LzssEncodeMemory), decoded back per decoder.cpp:168-190
+    and sha256 re-verified per doc."""
+    from dedup_gpu_stream_parallelism_spark.sources import ddp_format as ddp_fmt
+    from dedup_gpu_stream_parallelism_spark.streaming import replay
+
+    work = replay.fresh_workdir("ddplzss", sf_dir)
+    return ddp_fmt.ddp_roundtrip_check(
+        _docs(spark, sf_dir), os.path.join(work, "ddp"), CFG,
+        compress_type="lzss",
+    ).orderBy("doc_id")
+
+
 def q_chunk_store_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk-store space accounting (refs vs unique payload chars)."""
     from dedup_gpu_stream_parallelism_spark.operators import store as store_op
@@ -318,10 +336,10 @@ def q_compression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_compression_roundtrip_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compression validated BY DECODE, like the reference decoder
-    (decoder.cpp:107-197): unique store → compress (none, gzip AND bzip2)
-    → decompress → per-payload sha256 re-verify.  Puts the K1/K2/K3
-    codecs under the hard oracle signal (one row per unique payload per
-    codec)."""
+    (decoder.cpp:107-197): unique store → compress (none, gzip, bzip2 AND
+    lzss — the reference's benchmark default, dedup.cpp:113-114) →
+    decompress → per-payload sha256 re-verify.  Puts the K1-K5 codecs
+    under the hard oracle signal (one row per unique payload per codec)."""
     from dedup_gpu_stream_parallelism_spark.operators import compress as cz
 
     _, store = exact_op.encode_store(_docs(spark, sf_dir), "doc_id", "text")
@@ -329,6 +347,7 @@ def q_compression_roundtrip_check(spark: SparkSession, sf_dir: str) -> DataFrame
         cz.compress_store(store, cz.COMPRESS_NONE)
         .unionByName(cz.compress_store(store, cz.COMPRESS_GZIP))
         .unionByName(cz.compress_store(store, cz.COMPRESS_BZIP2))
+        .unionByName(cz.compress_store(store, cz.COMPRESS_LZSS))
     )
     return (
         cz.decompress_store(both)
@@ -506,9 +525,14 @@ def q_stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dedup_gpu_stream_parallelism_spark.streaming import replay
 
     work = replay.fresh_workdir("exact", sf_dir)
-    return replay.stream_dedup_replay(spark, _docs(spark, sf_dir), work).orderBy(
-        "doc_id"
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text"
     )
+    # both doc replays read identical slices — stage once per process
+    src = replay.shared_staged_docs(docs, sf_dir)
+    return replay.stream_dedup_replay(
+        spark, docs, work, staged_src=src
+    ).orderBy("doc_id")
 
 
 def q_stream_near_dup_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -519,8 +543,12 @@ def q_stream_near_dup_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dedup_gpu_stream_parallelism_spark.streaming import replay
 
     work = replay.fresh_workdir("neardup", sf_dir)
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text"
+    )
+    src = replay.shared_staged_docs(docs, sf_dir)
     return replay.stream_near_dup_replay(
-        spark, _docs(spark, sf_dir), work, CFG
+        spark, docs, work, CFG, staged_src=src
     ).orderBy("doc_id", "matched_id")
 
 
@@ -606,6 +634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_check": q_roundtrip_check,
         "chunk_roundtrip_check": q_chunk_roundtrip_check,
         "ddp_roundtrip_check": q_ddp_roundtrip_check,
+        "ddp_lzss_roundtrip_check": q_ddp_lzss_roundtrip_check,
         "chunk_store_stats": q_chunk_store_stats,
         "incremental_chunk_store_stats": q_incremental_chunk_store_stats,
         "compression_payload_stats": q_compression_payload_stats,
@@ -754,6 +783,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, sha256(text) AS sha256, 1 AS sha_ok
             FROM documents ORDER BY doc_id
         """,
+        # same contract at the reference's benchmark-default codec
+        # (compress_type byte 3 = COMPRESS_LZSS)
+        "ddp_lzss_roundtrip_check": """
+            SELECT doc_id, sha256(text) AS sha256, 1 AS sha_ok
+            FROM documents ORDER BY doc_id
+        """,
         "chunk_store_stats": duck_sql.chunk_store_stats_sql(),
         # increment(first half) ∪ increment-append(second half) must equal
         # the one-shot archive — same oracle
@@ -763,7 +798,8 @@ def oracle_sql() -> dict[str, str]:
             -- decode-validated compression: every unique payload must
             -- round-trip through each codec with its sha intact
             WITH u AS (SELECT DISTINCT sha256(text) AS sha256 FROM documents),
-                 c(compress_type) AS (VALUES ('none'), ('gzip'), ('bzip2'))
+                 c(compress_type) AS
+                   (VALUES ('none'), ('gzip'), ('bzip2'), ('lzss'))
             SELECT u.sha256, c.compress_type, 1 AS sha_ok
             FROM u CROSS JOIN c
             ORDER BY sha256, compress_type

@@ -29,7 +29,10 @@ from __future__ import annotations
 import numpy as np
 
 from dedup_gpu_stream_parallelism_spark.functions.hashing import text_codes
-from dedup_gpu_stream_parallelism_spark.operators.verify import lcp_array, suffix_array
+from dedup_gpu_stream_parallelism_spark.operators.verify import (
+    lcp_from_ranks,
+    suffix_array,
+)
 
 WINDOW_SIZE = 4096  # lzlocal.h:52
 MAX_UNCODED = 2     # lzlocal.h:55 — matches must beat this to be coded
@@ -47,8 +50,8 @@ def lpf_lengths(text: str) -> np.ndarray:
     if n == 0:
         return np.empty(0, dtype=np.int64)
     codes = text_codes(text)
-    sa = suffix_array(codes)
-    lcp = lcp_array(codes, sa)
+    sa, ranks = suffix_array(codes, return_ranks=True)
+    lcp = lcp_from_ranks(sa, ranks)
     rank = np.empty(n, dtype=np.int64)
     rank[sa] = np.arange(n)
     prev_r = np.arange(-1, n - 1)  # linked list over ranks

@@ -1,0 +1,195 @@
+"""Bit-exact LZSS codec — the reference's benchmark-default ``.ddp`` codec.
+
+The reference's ``-w lzss`` mode (/root/reference/src/dedup.cpp:113-114,
+``COMPRESS_LZSS = 3`` src/dedupdef.h:217) compresses every unique chunk
+with ``LzssEncodeMemory`` (/root/reference/libs/lzsslib/src/lzss.cpp:454-
+595) and decodes with ``LzssDecodeMemory`` (:347-452).  This module
+re-implements that codec's *observable byte stream* from the spec below —
+derived by reading the reference's behavior, not by translating its code.
+
+Token stream (bits packed MSB-first into bytes, final byte zero-padded —
+BitMemoryPutBit/BitMemoryToArray, libs/lzsslib/src/bitmemory.cpp:609-640,
+:338-372):
+
+* uncoded  — flag bit ``1`` + 8 literal bits (MSB-first);
+* coded    — flag bit ``0`` + 12-bit window offset + 4-bit
+  ``length - (MAX_UNCODED + 1)``.  Multi-bit numbers use the little-endian
+  Put/GetBitsNum path (bitmemory.cpp:985-1046): the low 8 bits of the
+  offset are written first (MSB-first within the byte), then bits 11..8;
+  the 4-bit length field is its low nibble MSB-first.
+
+Matcher semantics (FindMatch, libs/lzsslib/src/brute.cpp:166-240, the
+variant ``LzssEncodeMemory`` links):
+
+* 4096-byte circular window pre-filled with ``' '`` (0x20), 18-byte
+  lookahead ring (lzlocal.h:47-59: OFFSET_BITS=12, LENGTH_BITS=4,
+  WINDOW_SIZE=4096, MAX_UNCODED=2, MAX_CODED=18);
+* the scan starts at ``windowHead`` (the *oldest* byte) and walks the
+  window circularly, so among equally long matches the oldest one wins,
+  and the scan stops at the first match reaching MAX_CODED;
+* match extension reads the window circularly — near the head it wraps
+  into bytes from 4096 positions back (the C code does not clamp this);
+* emitted offsets are *absolute circular-window indices*, not distances;
+* matches longer than the remaining input are clamped after selection
+  ("garbage beyond last data happened to extend match length",
+  lzss.cpp:515), so tail tokens can select an offset based on stale
+  lookahead-ring bytes; the ring's stale slots hold the most recently
+  consumed input bytes — modeled faithfully here.  (Slots never written
+  because the input is shorter than 18 bytes are uninitialized C stack
+  memory in the reference; here they are deterministic zeros.  Emitted
+  lengths are clamped before writing, so decode is unaffected either way.)
+
+Decode mirrors LzssDecodeMemory: same pre-filled window, tokens read until
+the bit stream is exhausted, a mid-token EOF discards the partial token
+(zero pad bits always parse as an ENCODED flag that then hits EOF).
+
+Cost model: encode is O(tokens · window) with the inner scan vectorized in
+numpy (candidate set refined byte-by-byte, ≤ 17 refinement rounds, each a
+boolean gather over the surviving candidates); decode is O(output) with a
+plain int bit-accumulator.  Both are called per unique chunk (~KBs) inside
+Arrow-batched UDFs — never per row of a driver loop.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+OFFSET_BITS = 12
+LENGTH_BITS = 4
+WINDOW_SIZE = 1 << OFFSET_BITS      # 4096
+MAX_UNCODED = 2
+MAX_CODED = (1 << LENGTH_BITS) + MAX_UNCODED  # 18
+_SPACE = 0x20
+
+
+class _BitWriter:
+    """MSB-first bit packer (BitMemoryPutBit semantics, final byte
+    left-shifted so pad bits are zeros — bitmemory.cpp:338-358)."""
+
+    __slots__ = ("out", "acc", "nbits")
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, value: int, count: int) -> None:
+        self.acc = (self.acc << count) | (value & ((1 << count) - 1))
+        self.nbits += count
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.out.append((self.acc >> self.nbits) & 0xFF)
+        self.acc &= (1 << self.nbits) - 1
+
+    def tobytes(self) -> bytes:
+        if self.nbits:
+            self.out.append((self.acc << (8 - self.nbits)) & 0xFF)
+            self.acc = 0
+            self.nbits = 0
+        return bytes(self.out)
+
+
+def _put_offset_bits(w: _BitWriter, offset: int) -> None:
+    # little-endian PutBitsNum: low byte first, then bits 11..8
+    w.put(offset & 0xFF, 8)
+    w.put((offset >> 8) & 0xF, 4)
+
+
+def lzss_encode(data: bytes) -> bytes:
+    """Byte stream identical to ``LzssEncodeMemory`` on the same input
+    (modulo the uninitialized-memory caveat in the module docstring).
+
+    No circular buffers are simulated: over the virtual stream
+    ``V = ' ' * 4096 + data``, the window at consumed-count ``c`` is
+    exactly ``V[c : c+4096]`` in scan order (oldest first), the circular
+    wrap near the head reads ``V[c + (k+j-4096)]``, the emitted offset is
+    ``(c + k) % 4096``, and even the lookahead ring's stale tail slots are
+    ``V[4096 + c + j - 18]`` — so the whole encoder state is one integer."""
+    n = len(data)
+    if n == 0:
+        return b""  # lzss.cpp:500-503: empty input emits nothing
+    V = np.empty(WINDOW_SIZE + n, dtype=np.uint8)
+    V[:WINDOW_SIZE] = _SPACE
+    V[WINDOW_SIZE:] = np.frombuffer(data, dtype=np.uint8)
+    w = _BitWriter()
+    jj = np.arange(MAX_CODED)
+    c = 0
+    while c < n:
+        remaining = n - c
+        if remaining >= MAX_CODED:
+            lk = V[WINDOW_SIZE + c : WINDOW_SIZE + c + MAX_CODED]
+        else:
+            # tail: ring slots past the input hold the bytes consumed
+            # 18 positions ago (or deterministic 0 where C reads garbage)
+            vidx = WINDOW_SIZE + c + jj
+            vidx = np.where(vidx >= WINDOW_SIZE + n, vidx - MAX_CODED, vidx)
+            lk = V[vidx].copy()
+            lk[vidx < WINDOW_SIZE] = 0
+        cand = np.flatnonzero(V[c : c + WINDOW_SIZE] == lk[0])
+        best_k, mlen = -1, 0
+        if cand.size:
+            best_k, mlen = int(cand[0]), 1
+            for j in range(1, MAX_CODED):
+                idx = cand + j
+                src = c + np.where(idx >= WINDOW_SIZE, idx - WINDOW_SIZE, idx)
+                cand = cand[V[src] == lk[j]]
+                if cand.size == 0:
+                    break
+                best_k, mlen = int(cand[0]), j + 1
+        if mlen > remaining:
+            mlen = remaining  # garbage-extended tail match, clamped
+        if mlen <= MAX_UNCODED:
+            w.put(1, 1)  # UNCODED flag
+            w.put(int(V[WINDOW_SIZE + c]), 8)
+            c += 1
+        else:
+            w.put(0, 1)  # ENCODED flag
+            _put_offset_bits(w, (c + best_k) % WINDOW_SIZE)
+            w.put(mlen - (MAX_UNCODED + 1), LENGTH_BITS)
+            c += mlen
+    return w.tobytes()
+
+
+def lzss_decode(data: bytes) -> bytes:
+    """Inverse walk (LzssDecodeMemory, lzss.cpp:347-452): tokens until the
+    bits run out; zero pad bits parse as ENCODED-then-EOF and are dropped."""
+    out = bytearray()
+    window = bytearray(b" " * WINDOW_SIZE)
+    next_char = 0
+    acc = int.from_bytes(data, "big")
+    nbits = 8 * len(data)
+    while nbits >= 1:
+        flag = (acc >> (nbits - 1)) & 1
+        nbits -= 1
+        if flag == 1:  # uncoded literal
+            if nbits < 8:
+                break
+            c = (acc >> (nbits - 8)) & 0xFF
+            nbits -= 8
+            out.append(c)
+            window[next_char] = c
+            next_char = (next_char + 1) % WINDOW_SIZE
+        else:  # coded (offset, length)
+            if nbits < OFFSET_BITS + LENGTH_BITS:
+                break
+            low = (acc >> (nbits - 8)) & 0xFF
+            high = (acc >> (nbits - 12)) & 0xF
+            offset = low | (high << 8)
+            length = ((acc >> (nbits - 16)) & 0xF) + MAX_UNCODED + 1
+            nbits -= OFFSET_BITS + LENGTH_BITS
+            # copy from the PRE-token window (the reference stages the
+            # match in a lookahead buffer before writing it back)
+            chars = bytes(
+                window[(offset + i) % WINDOW_SIZE] for i in range(length)
+            )
+            out += chars
+            for i, ch in enumerate(chars):
+                window[(next_char + i) % WINDOW_SIZE] = ch
+            next_char = (next_char + length) % WINDOW_SIZE
+    return bytes(out)
+
+
+def lzss_bound(n: int) -> int:
+    """Compressed-size bound the reference allocates: n + n/8 + 100
+    (src/encoder.cpp:356-358); the true worst case is 9 bits/byte."""
+    return n + n // 8 + 100

@@ -1,16 +1,19 @@
 """Compress stage — the reference's K1-K3 kernels over unique payloads.
 
-The reference compresses each UNIQUE chunk with none/gzip/bzip2
-(``sub_Compress``, /root/reference/src/encoder.cpp:299-352) while
+The reference compresses each UNIQUE chunk with none/gzip/bzip2/lzss
+(``sub_Compress``, /root/reference/src/encoder.cpp:299-388) while
 duplicates bypass the stage entirely (routing at :580-594).  Same shape
 here: only representative rows (is_duplicate = 0) flow through the
 Arrow-batched codec UDF; duplicates carry the sha FK only.  LZSS (K4) is
-intentionally NOT ported as a storage codec — its match-finding role lives
-in verify.py's suffix-array pass (SURVEY.md §2.4); zlib covers storage.
+covered twice: its match-finding role lives in verify.py's suffix-array
+pass (SURVEY.md §2.4), and the literal bit-stream codec — the reference's
+benchmark default, ``-w lzss`` (src/dedup.cpp:113-114) — is
+functions/lzss_codec.py, fuzz-verified bit-exact against a build of the
+reference's own LzssEncodeMemory.
 
-Codecs run stdlib-C-side (zlib/bz2 release the GIL), one Arrow batch at a
-time; the bound per task is input bytes, which the scan/partition sizing
-already controls.
+Codecs run stdlib-C-side (zlib/bz2 release the GIL) or numpy-vectorized
+(lzss), one Arrow batch at a time; the bound per task is input bytes,
+which the scan/partition sizing already controls.
 """
 
 from __future__ import annotations
@@ -23,19 +26,27 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from dedup_gpu_stream_parallelism_spark.functions.lzss_codec import (
+    lzss_decode,
+    lzss_encode,
+)
+
 COMPRESS_NONE = "none"
 COMPRESS_GZIP = "gzip"
 COMPRESS_BZIP2 = "bzip2"
+COMPRESS_LZSS = "lzss"
 
 _ENCODERS = {
     COMPRESS_NONE: lambda b: b,
     COMPRESS_GZIP: lambda b: zlib.compress(b),  # level default, like encoder.cpp:318
     COMPRESS_BZIP2: lambda b: bz2.compress(b, 9),  # blockSize100k=9, encoder.cpp:341
+    COMPRESS_LZSS: lzss_encode,  # encoder.cpp:355-376 via LzssEncodeMemory
 }
 _DECODERS = {
     COMPRESS_NONE: lambda b: b,
     COMPRESS_GZIP: lambda b: zlib.decompress(b),
     COMPRESS_BZIP2: lambda b: bz2.decompress(b),
+    COMPRESS_LZSS: lzss_decode,  # decoder.cpp:168-190 via LzssDecodeMemory
 }
 
 COMPRESSED_SCHEMA = (

@@ -31,14 +31,24 @@ from dedup_gpu_stream_parallelism_spark.functions import hashing
 SEPARATOR = 0x110000  # > any unicode codepoint; keeps suffixes of a/b apart
 
 
-def suffix_array(codes: np.ndarray) -> np.ndarray:
-    """Suffix array via prefix doubling — O(n log^2 n), fully vectorized."""
+def suffix_array(
+    codes: np.ndarray, return_ranks: bool = False
+) -> np.ndarray | tuple[np.ndarray, list[tuple[int, np.ndarray]]]:
+    """Suffix array via prefix doubling — O(n log^2 n), fully vectorized.
+
+    With ``return_ranks``, also returns the per-level rank tables
+    ``[(length, rank_length), ...]`` for lengths 1, 2, 4, ... — rank
+    equality at a level ⟺ the two length-``length`` prefixes are equal —
+    which ``lcp_from_ranks`` consumes to compute every adjacent-pair LCP
+    without a per-character pass."""
     n = codes.shape[0]
     if n == 0:
-        return np.empty(0, dtype=np.int64)
+        sa = np.empty(0, dtype=np.int64)
+        return (sa, []) if return_ranks else sa
     rank = np.unique(codes, return_inverse=True)[1].astype(np.int64)
+    ranks = [(1, rank)]
     k = 1
-    while True:
+    while rank.max() != n - 1:
         key2 = np.full(n, -1, dtype=np.int64)
         if k < n:
             key2[: n - k] = rank[k:]
@@ -50,16 +60,49 @@ def suffix_array(codes: np.ndarray) -> np.ndarray:
         new_rank_sorted = np.cumsum(changed)
         rank = np.empty(n, dtype=np.int64)
         rank[order] = new_rank_sorted
-        if new_rank_sorted[-1] == n - 1:
-            break
+        ranks.append((2 * k, rank))
         k *= 2
     sa = np.empty(n, dtype=np.int64)
     sa[rank] = np.arange(n)
-    return sa
+    return (sa, ranks) if return_ranks else sa
+
+
+def lcp_from_ranks(
+    sa: np.ndarray, ranks: list[tuple[int, np.ndarray]]
+) -> np.ndarray:
+    """lcp[i] = LCP(suffix sa[i], suffix sa[i-1]); lcp[0] = 0 — computed
+    for ALL adjacent pairs at once by binary decomposition over the
+    doubling rank tables (highest level first: if the length-p prefixes
+    agree, add p and advance both suffixes by p).  The levels 1..P sum to
+    2P-1, and the doubling loop only stops once no two suffixes share a
+    length-P prefix, so every LCP is representable.  Replaces the Kasai
+    walk — same output, no per-character Python loop."""
+    n = sa.shape[0]
+    lcp = np.zeros(n, dtype=np.int64)
+    if n < 2:
+        return lcp
+    ii = sa[:-1].copy()
+    jj = sa[1:].copy()
+    acc = np.zeros(n - 1, dtype=np.int64)
+    for length, rank in reversed(ranks):
+        alive = (ii < n) & (jj < n)
+        if not alive.any():
+            break
+        eq = alive.copy()
+        eq[alive] = rank[ii[alive]] == rank[jj[alive]]
+        acc[eq] += length
+        ii[eq] += length
+        jj[eq] += length
+    lcp[1:] = acc
+    return lcp
 
 
 def lcp_array(codes: np.ndarray, sa: np.ndarray) -> np.ndarray:
-    """Kasai: lcp[i] = LCP(suffix sa[i], suffix sa[i-1]); lcp[0] = 0."""
+    """Kasai: lcp[i] = LCP(suffix sa[i], suffix sa[i-1]); lcp[0] = 0.
+
+    Reference implementation (per-character h-carry) kept as the
+    independent cross-check for ``lcp_from_ranks`` — the hot paths use
+    the vectorized variant."""
     n = sa.shape[0]
     rank = np.empty(n, dtype=np.int64)
     rank[sa] = np.arange(n)
@@ -87,8 +130,8 @@ def longest_common_substring(a: str, b: str) -> int:
     ca = hashing.text_codes(a)
     cb = hashing.text_codes(b)
     codes = np.concatenate([ca, [SEPARATOR], cb, [SEPARATOR + 1]]).astype(np.int64)
-    sa = suffix_array(codes)
-    lcp = lcp_array(codes, sa)
+    sa, ranks = suffix_array(codes, return_ranks=True)
+    lcp = lcp_from_ranks(sa, ranks)
     from_a = sa < ca.shape[0]  # suffix starts inside a
     mixed = from_a[1:] != from_a[:-1]
     if not mixed.any():

@@ -21,7 +21,16 @@ def build_session(
     extra: dict[str, str] | None = None,
 ) -> SparkSession:
     cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    shuffle_partitions = shuffle_partitions or max(cpus, 8)
+    # Width cap for shuffle-fed stages: the master keeps every pinned task
+    # slot (local[cpus]), but partition counts clamp at the host's
+    # measured effective-core ceiling (BENCH.md probe: ~18 real cores on
+    # this guest; 32 JVM task threads + 32 python UDF workers oversubscribe
+    # it and inflate Arrow-UDF stages 30-70% — the round-3 driver-bench
+    # regression).  JVM-only stages lose nothing: AQE coalesces small
+    # partitions below this anyway.  On a real cluster executors own their
+    # cores and SPARK_GRAFT_EFFECTIVE_CORES should equal the slot count.
+    effective = int(os.environ.get("SPARK_GRAFT_EFFECTIVE_CORES", "16"))
+    shuffle_partitions = shuffle_partitions or max(min(cpus, effective), 8)
     b = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")

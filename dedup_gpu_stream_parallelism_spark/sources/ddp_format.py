@@ -46,10 +46,24 @@ from dedup_gpu_stream_parallelism_spark.operators.chunk import chunk_documents
 CHECKBIT = 123456
 TYPE_FINGERPRINT = 0
 TYPE_COMPRESS = 1
-# compress_type header byte values (dedupdef.h:214-216)
-CT_GZIP, CT_BZIP2, CT_NONE = 0, 1, 2
-_CT_BYTE = {"gzip": CT_GZIP, "bzip2": CT_BZIP2, "none": CT_NONE}
+# compress_type header byte values (dedupdef.h:214-217)
+CT_GZIP, CT_BZIP2, CT_NONE, CT_LZSS = 0, 1, 2, 3
+_CT_BYTE = {"gzip": CT_GZIP, "bzip2": CT_BZIP2, "none": CT_NONE, "lzss": CT_LZSS}
 SHA1_LEN = 20
+# shard-size budget: bounds both the exporter's open-file stream and the
+# importer's per-shard unique-chunk table, and stays far under the
+# binaryFile source's 2 GiB per-file content limit
+DEFAULT_SHARD_BYTES = 256 << 20
+
+
+def _ct_name(ct_byte: int) -> str:
+    for name, b in _CT_BYTE.items():
+        if b == ct_byte:
+            return name
+    raise ValueError(
+        f"unsupported .ddp compress_type byte {ct_byte} "
+        f"(known: {sorted((v, k) for k, v in _CT_BYTE.items())})"
+    )
 
 
 def _codecs(compress_type: str):
@@ -62,6 +76,14 @@ def _codecs(compress_type: str):
         return (lambda b: bz2.compress(b, 9)), bz2.decompress
     if compress_type == "none":
         return (lambda b: b), (lambda b: b)
+    if compress_type == "lzss":
+        # the reference's benchmark-default codec (src/dedup.cpp:113-114)
+        from dedup_gpu_stream_parallelism_spark.functions.lzss_codec import (
+            lzss_decode,
+            lzss_encode,
+        )
+
+        return lzss_encode, lzss_decode
     raise ValueError(f"unknown compress_type {compress_type!r}")
 
 
@@ -81,6 +103,7 @@ def export_ddp(
     text_col: str = "text",
     n_shards: int | None = None,
     compress_type: str = "gzip",
+    target_shard_bytes: int = DEFAULT_SHARD_BYTES,
 ) -> DataFrame:
     """Write ``docs`` as ``shard-NNNNN.ddp`` byte streams under ``out_dir``
     plus the ``_doc_index`` sidecar; returns the doc-index DataFrame.
@@ -89,6 +112,17 @@ def export_ddp(
     a cluster; any local dir in local mode).  Docs whose text is shorter
     than one chunk (empty) produce no records and no index row — import's
     caller left-joins the doc list, exactly like the columnar round trip.
+
+    Memory contract: shard count derives from the corpus's text bytes and
+    ``target_shard_bytes`` (NOT from cluster parallelism), records are
+    appended to the open shard file as they are packed (the format is
+    strictly sequential), and each task attempt stages to a private tmp
+    published by an atomic rename — so executor memory is bounded by one
+    Arrow batch regardless of corpus size, a shard never exceeds the
+    binaryFile source's 2 GiB content limit, and task retries or
+    speculative attempts cannot interleave half-written streams.  Stale
+    ``shard-NNNNN.ddp`` files from a previous wider export into the same
+    dir are removed after the index commits.
     """
     from pyspark import TaskContext
 
@@ -101,7 +135,13 @@ def export_ddp(
     chunks = chunk_documents(
         docs, cfg, id_col=id_col, text_col=text_col, with_payload=True
     ).select("doc_id", "chunk_idx", "chunk_text")
-    n_shards = n_shards or spark.sparkContext.defaultParallelism
+    if n_shards is None:
+        # pre-dedup text bytes upper-bound the stream (compression and
+        # fingerprint records only shrink it); one cheap column-pruned agg
+        total = docs.select(
+            F.sum(F.octet_length(text_col)).alias("chars")
+        ).first()["chars"] or 0
+        n_shards = max(1, -(-int(total) // max(1, target_shard_bytes)))
     arranged = chunks.repartitionByRange(n_shards, "doc_id").sortWithinPartitions(
         "doc_id", "chunk_idx"
     )
@@ -111,29 +151,37 @@ def export_ddp(
 
         ctx = TaskContext.get()
         shard = ctx.partitionId() if ctx else 0
+        attempt = ctx.taskAttemptId() if ctx else 0
         seen: set[bytes] = set()
-        stream = bytearray(header)
         doc_ids: list[int] = []
         doc_nchunks: list[int] = []
-        for pdf in batches:
-            for doc_id, payload in zip(pdf["doc_id"], pdf["chunk_text"]):
-                raw = payload.encode("utf-8") if isinstance(payload, str) else bytes(payload)
-                sha1 = hashlib.sha1(raw).digest()
-                if sha1 in seen:
-                    stream += pack_record(TYPE_FINGERPRINT, sha1)
-                else:
-                    seen.add(sha1)
-                    stream += pack_record(TYPE_COMPRESS, enc(raw))
-                if not doc_ids or doc_ids[-1] != int(doc_id):
-                    doc_ids.append(int(doc_id))
-                    doc_nchunks.append(0)
-                doc_nchunks[-1] += 1
-        # header-only shards are valid streams too (empty range partition)
         path = os.path.join(out_dir, f"shard-{shard:05d}.ddp")
-        tmp = path + ".tmp"
-        with open(tmp, "wb") as f:
-            f.write(bytes(stream))
-        os.replace(tmp, path)
+        tmp = f"{path}.tmp-{attempt}"
+        try:
+            with open(tmp, "wb") as f:
+                f.write(header)
+                for pdf in batches:
+                    for doc_id, payload in zip(pdf["doc_id"], pdf["chunk_text"]):
+                        raw = (
+                            payload.encode("utf-8")
+                            if isinstance(payload, str)
+                            else bytes(payload)
+                        )
+                        sha1 = hashlib.sha1(raw).digest()
+                        if sha1 in seen:
+                            f.write(pack_record(TYPE_FINGERPRINT, sha1))
+                        else:
+                            seen.add(sha1)
+                            f.write(pack_record(TYPE_COMPRESS, enc(raw)))
+                        if not doc_ids or doc_ids[-1] != int(doc_id):
+                            doc_ids.append(int(doc_id))
+                            doc_nchunks.append(0)
+                        doc_nchunks[-1] += 1
+            # header-only shards are valid streams too (empty partition)
+            os.replace(tmp, path)
+        finally:
+            if os.path.exists(tmp):
+                os.remove(tmp)
         yield pd.DataFrame(
             {
                 "shard_id": pd.array([shard] * len(doc_ids), dtype="int32"),
@@ -146,7 +194,62 @@ def export_ddp(
         gen, schema="shard_id int, doc_id bigint, n_chunks bigint"
     )
     index.write.mode("overwrite").parquet(os.path.join(out_dir, "_doc_index"))
+    # a previous export with MORE shards leaves stale files that would
+    # shadow this one on import — drop anything past the new width
+    import glob as _glob
+    import re as _re
+
+    for f in _glob.glob(os.path.join(out_dir, "shard-*.ddp*")):
+        m = _re.search(r"shard-(\d+)\.ddp", f)
+        if m and (int(m.group(1)) >= n_shards or not f.endswith(".ddp")):
+            os.remove(f)
     return spark.read.parquet(os.path.join(out_dir, "_doc_index"))
+
+
+def decode_stream(blob: bytes) -> list[bytes]:
+    """Walk one ``.ddp`` byte stream into its chunk payload sequence:
+    TYPE_COMPRESS → decompress, SHA-1, remember; TYPE_FINGERPRINT → look
+    up (hard error if unknown — the decoder's referential-integrity fail,
+    decoder.cpp:268-271).  Hard-fails on a bad CHECKBIT, an unknown
+    compress_type byte, or a record whose payload is shorter than its
+    declared length (the reference's xread aborts on short reads)."""
+    import hashlib
+
+    if len(blob) < 5:
+        raise ValueError("truncated .ddp header")
+    (checkbit,) = struct.unpack_from("<i", blob, 0)
+    if checkbit != CHECKBIT:
+        raise ValueError(f"format error: CHECKBIT {checkbit}")
+    _, dec = _codecs(_ct_name(blob[4]))
+    pos = 5
+    table: dict[bytes, bytes] = {}
+    chunks: list[bytes] = []
+    while pos < len(blob):
+        if pos + 9 > len(blob):
+            raise ValueError("truncated .ddp record header")
+        rtype = blob[pos]
+        (length,) = struct.unpack_from("<Q", blob, pos + 1)
+        payload = blob[pos + 9 : pos + 9 + length]
+        if len(payload) != length:
+            raise ValueError(
+                f"truncated .ddp record: declared {length} bytes, "
+                f"stream has {len(payload)}"
+            )
+        pos += 9 + length
+        if rtype == TYPE_COMPRESS:
+            raw = dec(payload)
+            table[hashlib.sha1(raw).digest()] = raw
+            chunks.append(raw)
+        elif rtype == TYPE_FINGERPRINT:
+            if payload not in table:
+                raise ValueError(
+                    "referential integrity violated: fingerprint "
+                    "with no earlier payload"
+                )
+            chunks.append(table[payload])
+        else:
+            raise ValueError(f"unknown record type {rtype}")
+    return chunks
 
 
 def import_ddp(spark: SparkSession, out_dir: str) -> DataFrame:
@@ -154,13 +257,34 @@ def import_ddp(spark: SparkSession, out_dir: str) -> DataFrame:
 
     One binaryFile scan of the shards joined (on shard_id — no driver
     broadcast) with the per-shard doc index, then an independent record
-    walk per shard: TYPE_COMPRESS → decompress, SHA-1, remember;
-    TYPE_FINGERPRINT → look up (hard error if unknown — the decoder's
-    referential-integrity fail, decoder.cpp:268-271).  Chunks re-split
-    into docs by the index's per-doc record counts.
+    walk per shard (``decode_stream``); chunks re-split into docs by the
+    index's per-doc record counts.  The join is FULL OUTER and both
+    unmatched sides hard-fail: an indexed shard whose file is missing,
+    or a shard file carrying records the index doesn't know, can never
+    silently drop docs.
+
+    Streams produced by the reference itself have no ``_doc_index``
+    sidecar; without one, each shard decodes to a single concatenated
+    payload under ``doc_id = shard_id`` — exactly the byte stream
+    ``dedup -u`` would write for that file (decoder.cpp:274-276).
+    ``out_dir`` may also be a single ``.ddp`` FILE (a reference
+    ``dedup -c`` output, any name): it imports as one doc with id 0.
     """
     import glob
 
+    if os.path.isfile(out_dir):
+        # one reference-produced stream, arbitrary filename
+        single = (
+            spark.read.format("binaryFile")
+            .load(out_dir)
+            .select(F.lit(0).cast("int").alias("shard_id"), "content")
+        )
+        has_index = False
+        joined = single.withColumn(
+            "docs",
+            F.lit(None).cast("array<struct<doc_id:bigint,n_chunks:bigint>>"),
+        )
+        return _walk_shards(joined, has_index)
     if not glob.glob(os.path.join(out_dir, "shard-*.ddp")):
         # empty corpus exported zero shards (every partition empty before
         # the UDF ran) — nothing to decode
@@ -175,61 +299,63 @@ def import_ddp(spark: SparkSession, out_dir: str) -> DataFrame:
             "content",
         )
     )
-    index = (
-        spark.read.parquet(os.path.join(out_dir, "_doc_index"))
-        .groupBy("shard_id")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct("doc_id", "n_chunks"))
-            ).alias("docs")
+    has_index = os.path.exists(os.path.join(out_dir, "_doc_index"))
+    if has_index:
+        index = (
+            spark.read.parquet(os.path.join(out_dir, "_doc_index"))
+            .groupBy("shard_id")
+            .agg(
+                F.sort_array(
+                    F.collect_list(F.struct("doc_id", "n_chunks"))
+                ).alias("docs")
+            )
         )
-    )
-    joined = shards.join(index, "shard_id", "left")
+        joined = shards.join(index, "shard_id", "outer")
+    else:
+        joined = shards.withColumn(
+            "docs",
+            F.lit(None).cast("array<struct<doc_id:bigint,n_chunks:bigint>>"),
+        )
+    return _walk_shards(joined, has_index)
+
+
+def _walk_shards(joined: DataFrame, has_index: bool) -> DataFrame:
+    """Per-shard record walk (shared by the sharded and single-file import
+    paths): decode each stream, then re-split into docs by the index's
+    per-doc record counts — or emit one concatenated doc per shard when no
+    index exists (the reference's own output shape)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import hashlib
-
         for pdf in batches:
             out_ids: list[int] = []
             out_data: list[bytes] = []
-            for blob, docs in zip(pdf["content"], pdf["docs"]):
-                blob = bytes(blob)
-                if len(blob) < 5:
-                    raise ValueError("truncated .ddp header")
-                (checkbit,) = struct.unpack_from("<i", blob, 0)
-                if checkbit != CHECKBIT:
-                    raise ValueError(f"format error: CHECKBIT {checkbit}")
-                ct_byte = blob[4]
-                ct = {v: k for k, v in _CT_BYTE.items()}[ct_byte]
-                _, dec = _codecs(ct)
-                pos = 5
-                table: dict[bytes, bytes] = {}
-                chunks: list[bytes] = []
-                while pos < len(blob):
-                    rtype = blob[pos]
-                    (length,) = struct.unpack_from("<Q", blob, pos + 1)
-                    payload = blob[pos + 9 : pos + 9 + length]
-                    pos += 9 + length
-                    if rtype == TYPE_COMPRESS:
-                        raw = dec(payload)
-                        table[hashlib.sha1(raw).digest()] = raw
-                        chunks.append(raw)
-                    elif rtype == TYPE_FINGERPRINT:
-                        if payload not in table:
-                            raise ValueError(
-                                "referential integrity violated: fingerprint "
-                                "with no earlier payload"
-                            )
-                        chunks.append(table[payload])
-                    else:
-                        raise ValueError(f"unknown record type {rtype}")
+            for shard_id, blob, docs in zip(
+                pdf["shard_id"], pdf["content"], pdf["docs"]
+            ):
+                if blob is None:
+                    raise ValueError(
+                        f"_doc_index references shard {shard_id} but "
+                        "shard file is missing"
+                    )
+                chunks = decode_stream(bytes(blob))
+                if docs is None:
+                    if has_index and chunks:
+                        raise ValueError(
+                            f"shard {shard_id} carries {len(chunks)} records "
+                            "but has no _doc_index rows"
+                        )
+                    if not has_index:
+                        # reference-produced stream: one doc per shard file
+                        out_ids.append(int(shard_id))
+                        out_data.append(b"".join(chunks))
+                    continue
                 at = 0
-                for d in docs if docs is not None else []:
+                for d in docs:
                     n = int(d["n_chunks"])
                     out_ids.append(int(d["doc_id"]))
                     out_data.append(b"".join(chunks[at : at + n]))
                     at += n
-                if docs is not None and at != len(chunks):
+                if at != len(chunks):
                     raise ValueError("doc index does not cover the stream")
             yield pd.DataFrame({"doc_id": out_ids, "data": out_data})
 

@@ -62,6 +62,7 @@ def stage_range_batches(
     srcdir: str,
     n_batches: int = REPLAY_BATCHES,
     id_col: str = "doc_id",
+    n: int | None = None,
 ) -> int:
     """Write ``docs`` as ``n_batches`` single-file parquet slices of
     contiguous ``id_col`` ranges, with strictly ascending mtimes so the file
@@ -69,9 +70,11 @@ def stage_range_batches(
 
     Returns ``per`` — the range width; slice *i* holds ids in
     ``[i*per, (i+1)*per)``.  Ids are assumed 0..n-1 (the testdata contract,
-    shared with the incremental queries).
+    shared with the incremental queries).  Pass ``n`` when the caller
+    already knows the row count to skip the count job.
     """
-    n = docs.count()
+    if n is None:
+        n = docs.count()
     per = max(1, -(-n // n_batches))
     os.makedirs(srcdir, exist_ok=True)
     for i in range(n_batches):
@@ -81,6 +84,86 @@ def stage_range_batches(
             part, os.path.join(srcdir, f"{i:04d}.parquet"), _mtime_at(i)
         )
     return per
+
+
+def shared_staged_docs(
+    docs: DataFrame,
+    sf_dir: str,
+    n_batches: int = REPLAY_BATCHES,
+    id_col: str = "doc_id",
+) -> str:
+    """Stage ``docs`` as replay slices ONCE per (dataset, process) and
+    return the srcdir; later callers in the same process (the dedup and
+    near-dup replays read identical slices) reuse the files instead of
+    re-counting and re-writing them.  Slices are immutable once the
+    ``_staged`` marker lands, so sharing cannot race: the marker is
+    written only after every slice file is in place."""
+    import hashlib
+
+    digest = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    srcdir = os.path.join(
+        "/tmp", "spark_graft_stream",
+        f"staged_{id_col}_{n_batches}_{digest}_{os.getpid()}",
+    )
+    marker = os.path.join(srcdir, "_staged")
+    if not os.path.exists(marker):
+        shutil.rmtree(srcdir, ignore_errors=True)
+        stage_range_batches(docs, srcdir, n_batches, id_col=id_col)
+        open(marker, "w").close()
+    return srcdir
+
+
+def _dense_rank_ids(
+    df: DataFrame,
+    sort_cols: list[str],
+    out_col: str = "rid",
+    n_parts: int | None = None,
+) -> tuple[DataFrame, int]:
+    """Global dense rank over ``sort_cols`` WITHOUT a single-task sort:
+    ``repartitionByRange`` orders partitions globally, a per-partition
+    count job yields each partition's starting offset, and a mapInPandas
+    pass adds ``offset + local_index`` — two small jobs, every stage as
+    wide as the cluster (the fix for the no-partition ``Window.orderBy``
+    anti-pattern, which moves ALL rows through one task).  Returns
+    ``(ranked_df, n_rows)``; the ranked frame is persisted (the partition
+    boundaries that the offsets were computed against must be the ones
+    the rank pass sees) — caller unpersists after materializing."""
+    spark = df.sparkSession
+    n_parts = n_parts or spark.sparkContext.defaultParallelism
+    parts = (
+        df.repartitionByRange(n_parts, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .persist()
+    )
+    counts = (
+        parts.withColumn("_pid", F.spark_partition_id())
+        .groupBy("_pid")
+        .count()
+        .collect()
+    )  # one row per partition — bounded by cluster width, never by data
+    offsets: dict[int, int] = {}
+    acc = 0
+    for row in sorted(counts, key=lambda r: r["_pid"]):
+        offsets[row["_pid"]] = acc
+        acc += row["count"]
+    b_off = spark.sparkContext.broadcast(offsets)
+    fields = df.columns
+
+    def add_rid(batches):
+        from pyspark import TaskContext
+
+        at = b_off.value.get(TaskContext.get().partitionId(), 0)
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = range(at, at + len(pdf))
+            at += len(pdf)
+            yield pdf
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + f", {out_col} bigint"
+    ranked = parts.mapInPandas(add_rid, schema=schema).select(out_col, *fields)
+    return ranked, acc, parts
 
 
 def fresh_workdir(tag: str, sf_dir: str) -> str:
@@ -108,16 +191,19 @@ def stream_dedup_replay(
     docs: DataFrame,
     workdir: str,
     n_batches: int = REPLAY_BATCHES,
+    staged_src: str | None = None,
 ) -> DataFrame:
     """Run ``exact_dedup_stream`` over a bounded replay of ``docs`` and
     return the final (doc_id, sha256, representative_id, is_duplicate)
     table — deterministic, so the batch dedup-manifest SQL is its oracle.
-    """
+    ``staged_src`` (from ``shared_staged_docs``) reuses already-staged
+    slices instead of re-counting and re-writing them."""
     docs = docs.select(F.col("doc_id").cast("bigint").alias("doc_id"), "text")
-    srcdir = os.path.join(workdir, "src")
+    srcdir = staged_src or os.path.join(workdir, "src")
     outdir = os.path.join(workdir, "out")
     cpdir = os.path.join(workdir, "checkpoint")
-    stage_range_batches(docs, srcdir, n_batches)
+    if staged_src is None:
+        stage_range_batches(docs, srcdir, n_batches)
     stream = (
         spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1)
@@ -145,6 +231,7 @@ def stream_near_dup_replay(
     n_batches: int = REPLAY_BATCHES,
     n_buckets: int = 8,
     compact_every: int | None = 2,
+    staged_src: str | None = None,
 ) -> DataFrame:
     """Run ``NearDupStream`` (probe → emit → insert, with mid-stream index
     compaction) over a bounded replay and return the final cross-batch
@@ -153,12 +240,14 @@ def stream_near_dup_replay(
     Deterministic: a pair (a < b) sharing an LSH band key is emitted exactly
     once — in b's batch, probing the index that already holds a — iff a and
     b land in different range batches.  The oracle recomputes exactly that
-    set from the signature CTEs (``stream_matches_sql``).
+    set from the signature CTEs (``stream_matches_sql``).  ``staged_src``
+    (from ``shared_staged_docs``) reuses already-staged slices.
     """
     cfg = cfg or DedupConfig()
     docs = docs.select(F.col("doc_id").cast("bigint").alias("doc_id"), "text")
-    srcdir = os.path.join(workdir, "src")
-    stage_range_batches(docs, srcdir, n_batches)
+    srcdir = staged_src or os.path.join(workdir, "src")
+    if staged_src is None:
+        stage_range_batches(docs, srcdir, n_batches)
     nds = NearDupStream(
         index_dir=os.path.join(workdir, "index"),
         out_dir=os.path.join(workdir, "matches"),
@@ -206,8 +295,6 @@ def stream_window_stats_replay(
     """
     from datetime import timedelta
 
-    from pyspark.sql import Window
-
     ev = events.select(
         "event_id",
         F.col("ts").cast("timestamp").alias("ts"),
@@ -215,14 +302,15 @@ def stream_window_stats_replay(
         "user_id",
         "value",
     )
-    # replay ids in event-time order → range batches = time-ordered batches
-    rid = ev.withColumn(
-        "rid",
-        F.row_number().over(Window.orderBy("ts", "event_id")).cast("bigint") - 1,
-    ).select("rid", "ts", "event_type", "user_id", "value")
+    # replay ids in event-time order → range batches = time-ordered
+    # batches.  Distributed dense rank (range partitions + offsets), NOT a
+    # no-partition Window.orderBy — that would sort every event in one task
+    ranked, n, parts = _dense_rank_ids(ev, ["ts", "event_id"])
+    rid = ranked.select("rid", "ts", "event_type", "user_id", "value")
     srcdir = os.path.join(workdir, "src")
-    stage_range_batches(rid, srcdir, n_batches, id_col="rid")
-    n, max_ts = rid.agg(F.count("*"), F.max("ts")).first()
+    stage_range_batches(rid, srcdir, n_batches, id_col="rid", n=n)
+    max_ts = parts.agg(F.max("ts")).first()[0]
+    parts.unpersist()
     if not n:
         # no events → no windows; nothing for a sentinel to flush
         return spark.createDataFrame(

@@ -132,6 +132,161 @@ def test_import_rejects_unknown_fingerprint(spark, cfg, tmp_path):
         ddp.import_ddp(spark, out).collect()
 
 
+def test_lzss_codec_roundtrip(spark, cfg, tmp_path):
+    """compress_type byte 3 = COMPRESS_LZSS (dedupdef.h:217), the
+    reference's benchmark default: payloads are the literal LZSS bit
+    stream and the full export → import round trip holds."""
+    from dedup_gpu_stream_parallelism_spark.functions.lzss_codec import lzss_decode
+
+    text = "lzss chunk payload body " * 40
+    docs = spark.createDataFrame(
+        [(i, text + str(i % 2)) for i in range(4)], "doc_id bigint, text string"
+    )
+    out = str(tmp_path / "ddp_lzss")
+    res = ddp.ddp_roundtrip_check(docs, out, cfg, compress_type="lzss").collect()
+    assert len(res) == 4 and all(r.sha_ok == 1 for r in res)
+    blob = open(os.path.join(out, "shard-00000.ddp"), "rb").read()
+    assert blob[4] == ddp.CT_LZSS == 3
+    (length,) = struct.unpack_from("<Q", blob, 6)
+    first = lzss_decode(blob[14 : 14 + length])
+    assert first.decode() == (text + "0")[: len(first)]
+
+
+def test_import_reference_stream_without_sidecar(spark, tmp_path):
+    """A stream produced by the reference itself has no _doc_index: each
+    shard file must decode to ONE concatenated payload (what dedup -u
+    writes, decoder.cpp:274-276), keyed by shard id."""
+    out = str(tmp_path / "ddp_ref")
+    os.makedirs(out)
+    c1, c2 = b"first chunk bytes", b"second chunk!"
+    stream = (
+        ddp.pack_header("gzip")
+        + ddp.pack_record(ddp.TYPE_COMPRESS, zlib.compress(c1))
+        + ddp.pack_record(ddp.TYPE_COMPRESS, zlib.compress(c2))
+        + ddp.pack_record(ddp.TYPE_FINGERPRINT, hashlib.sha1(c1).digest())
+    )
+    open(os.path.join(out, "shard-00000.ddp"), "wb").write(stream)
+    got = ddp.import_ddp(spark, out).collect()
+    assert len(got) == 1
+    assert got[0].doc_id == 0
+    assert bytes(got[0].data) == c1 + c2 + c1
+
+
+def test_import_single_reference_file(spark, tmp_path):
+    """import_ddp(path-to-file): a lone reference-produced ``.ddp`` with an
+    arbitrary name (e.g. silesia.tar.ddp) imports as one doc — at the
+    reference's benchmark-default lzss codec."""
+    from dedup_gpu_stream_parallelism_spark.functions.lzss_codec import lzss_encode
+
+    payload = b"reference single-file stream " * 30
+    path = str(tmp_path / "silesia.tar.ddp")
+    stream = (
+        ddp.pack_header("lzss")
+        + ddp.pack_record(ddp.TYPE_COMPRESS, lzss_encode(payload))
+        + ddp.pack_record(ddp.TYPE_FINGERPRINT, hashlib.sha1(payload).digest())
+    )
+    open(path, "wb").write(stream)
+    got = ddp.import_ddp(spark, path).collect()
+    assert len(got) == 1 and got[0].doc_id == 0
+    assert bytes(got[0].data) == payload + payload
+
+
+def test_import_rejects_truncated_record(spark, tmp_path):
+    """A record whose payload is shorter than its declared length must
+    hard-fail (the reference's xread aborts on short reads), not decode
+    to silently short bytes."""
+    out = str(tmp_path / "ddp_trunc")
+    os.makedirs(out)
+    full = ddp.pack_header("none") + ddp.pack_record(ddp.TYPE_COMPRESS, b"0123456789")
+    open(os.path.join(out, "shard-00000.ddp"), "wb").write(full[:-4])
+    with pytest.raises(Exception, match="truncated"):
+        ddp.import_ddp(spark, out).collect()
+
+
+def test_import_rejects_unknown_compress_byte(spark, tmp_path):
+    """An unknown compress_type byte gets a diagnostic error, not a bare
+    KeyError."""
+    out = str(tmp_path / "ddp_ct")
+    os.makedirs(out)
+    stream = bytearray(ddp.pack_header("none"))
+    stream[4] = 9
+    open(os.path.join(out, "shard-00000.ddp"), "wb").write(bytes(stream))
+    with pytest.raises(Exception, match="unsupported .ddp compress_type byte 9"):
+        ddp.import_ddp(spark, out).collect()
+
+
+def test_import_rejects_indexed_shard_with_missing_file(spark, cfg, tmp_path):
+    """_doc_index rows whose shard file vanished must raise — docs can
+    never silently disappear from an import."""
+    docs = spark.createDataFrame(
+        [(i, f"body of document {i} " * 30) for i in range(8)],
+        "doc_id bigint, text string",
+    )
+    out = str(tmp_path / "ddp_missing")
+    ddp.export_ddp(docs, out, cfg, n_shards=2)
+    os.remove(os.path.join(out, "shard-00001.ddp"))
+    with pytest.raises(Exception, match="missing"):
+        ddp.import_ddp(spark, out).collect()
+
+
+def test_import_rejects_unindexed_records(spark, cfg, tmp_path):
+    """A shard file carrying records the sidecar doesn't know about must
+    raise instead of being decoded and silently dropped."""
+    docs = spark.createDataFrame(
+        [(0, "known doc " * 30)], "doc_id bigint, text string"
+    )
+    out = str(tmp_path / "ddp_unindexed")
+    ddp.export_ddp(docs, out, cfg, n_shards=1)
+    rogue = ddp.pack_header("gzip") + ddp.pack_record(
+        ddp.TYPE_COMPRESS, zlib.compress(b"rogue chunk")
+    )
+    open(os.path.join(out, "shard-00007.ddp"), "wb").write(rogue)
+    with pytest.raises(Exception, match="no _doc_index rows"):
+        ddp.import_ddp(spark, out).collect()
+
+
+def test_multi_batch_export_is_byte_identical(spark, cfg, tmp_path):
+    """Streaming the shard file record-by-record across many small Arrow
+    batches produces byte-identical output to a one-batch export — the
+    exporter holds no shard-sized buffer."""
+    docs = spark.createDataFrame(
+        [(i, f"document {i} payload " * 25 + ("shared tail " * 20))
+         for i in range(40)],
+        "doc_id bigint, text string",
+    )
+    out_a = str(tmp_path / "ddp_batch_a")
+    out_b = str(tmp_path / "ddp_batch_b")
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, "3")  # force many tiny Arrow batches
+        ddp.export_ddp(docs, out_a, cfg, n_shards=1)
+    finally:
+        spark.conf.set(key, old if old is not None else "10000")
+    ddp.export_ddp(docs, out_b, cfg, n_shards=1)
+    a = open(os.path.join(out_a, "shard-00000.ddp"), "rb").read()
+    b = open(os.path.join(out_b, "shard-00000.ddp"), "rb").read()
+    assert a == b and len(a) > 5
+
+
+def test_reexport_removes_stale_wider_shards(spark, cfg, tmp_path):
+    """Re-exporting into the same dir with fewer shards removes the old
+    higher-numbered shard files, so import can't resurrect stale chunks."""
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} " * 40) for i in range(10)], "doc_id bigint, text string"
+    )
+    out = str(tmp_path / "ddp_stale")
+    ddp.export_ddp(docs, out, cfg, n_shards=4)
+    assert os.path.exists(os.path.join(out, "shard-00003.ddp"))
+    ddp.export_ddp(docs, out, cfg, n_shards=1)
+    left = sorted(f for f in os.listdir(out) if f.endswith(".ddp"))
+    assert left == ["shard-00000.ddp"]
+    got = ddp.import_ddp(spark, out).collect()
+    assert len(got) == 10 and all(r.sha_ok == 1 for r in ddp.ddp_roundtrip_check(
+        docs, str(tmp_path / "ddp_stale2"), cfg
+    ).collect())
+
+
 def test_none_codec_stream_is_raw(spark, cfg, tmp_path):
     """compress_type none: TYPE_COMPRESS payloads are the raw chunk bytes
     (and gzip payloads actually zlib-decompress to them)."""

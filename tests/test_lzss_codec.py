@@ -1,0 +1,176 @@
+"""LZSS bit-stream codec: golden bytes, round-trip properties, and —
+when a C++ toolchain plus the reference sources are present — fuzzed
+bit-exactness against a build of the reference's own LzssEncodeMemory /
+LzssDecodeMemory (libs/lzsslib/src/lzss.cpp:454-595 / :347-452)."""
+
+from __future__ import annotations
+
+import os
+import random
+import shutil
+import subprocess
+
+import pytest
+
+from dedup_gpu_stream_parallelism_spark.functions.lzss_codec import (
+    MAX_CODED,
+    MAX_UNCODED,
+    WINDOW_SIZE,
+    lzss_bound,
+    lzss_decode,
+    lzss_encode,
+)
+
+REF_LZSS_SRC = "/root/reference/libs/lzsslib/src"
+
+
+def test_constants_match_reference_spec():
+    # lzlocal.h:47-59
+    assert WINDOW_SIZE == 4096
+    assert MAX_UNCODED == 2
+    assert MAX_CODED == 18
+
+
+def test_golden_bit_stream():
+    """Hand-computed token stream for b"aaaaaaa": three uncoded 'a'
+    (window is spaces), one coded (offset 0, length 3 → stored 0), one
+    uncoded 'a', zero-padded to the byte — 53 bits → 7 bytes."""
+    assert lzss_encode(b"aaaaaaa") == bytes.fromhex("b0d86c20000b08")
+    assert lzss_decode(bytes.fromhex("b0d86c20000b08")) == b"aaaaaaa"
+
+
+def test_empty_input():
+    assert lzss_encode(b"") == b""
+    assert lzss_decode(b"") == b""
+
+
+def test_space_prefill_matches():
+    """Leading spaces match the pre-filled window: a run of >=3 spaces at
+    the very start must emit a coded token, not literals."""
+    data = b"          x"  # 10 spaces
+    enc = lzss_encode(data)
+    assert lzss_decode(enc) == data
+    # 10 spaces as one coded token (17 bits) + 'x' literal (9) = 26 bits
+    assert len(enc) == (17 + 9 + 7) // 8
+
+
+def test_roundtrip_properties():
+    rng = random.Random(1234)
+    cases = [
+        b"x",
+        b"ab",
+        b"abcabcabcabc" * 20,
+        bytes(range(256)) * 2,
+        (b"def f(x):\n    return x + 1\n\n" * 200),
+        rng.randbytes(10_000),
+        bytes(rng.choice(b"ab ") for _ in range(6000)),
+        b"z" * 10_000,  # RLE-ish: max-length coded tokens
+    ]
+    for data in cases:
+        enc = lzss_encode(data)
+        assert lzss_decode(enc) == data
+        assert len(enc) <= lzss_bound(len(data))
+
+
+def test_worst_case_is_nine_eighths():
+    """Incompressible input costs exactly 9 bits/byte (flag + literal)."""
+    data = bytes(range(250))  # no repeats, nothing matches the window
+    enc = lzss_encode(data)
+    assert len(enc) == (9 * len(data) + 7) // 8
+
+
+def test_pad_bits_do_not_emit():
+    """Up to 7 zero pad bits parse as an ENCODED flag that hits EOF —
+    decode must drop them, for every pad width."""
+    for n in range(1, 9):
+        data = bytes(range(65, 65 + n))
+        assert lzss_decode(lzss_encode(data)) == data
+
+
+def _build_reference_oracle() -> str | None:
+    """Compile the reference's LZSS into a stdin→stdout harness (cached);
+    None when the toolchain or sources are unavailable."""
+    exe = "/tmp/lzss_oracle_pytest/lzss_ref"
+    if os.path.exists(exe):
+        return exe
+    if not shutil.which("g++") or not os.path.isdir(REF_LZSS_SRC):
+        return None
+    d = "/tmp/lzss_oracle_pytest"
+    os.makedirs(os.path.join(d, "CL"), exist_ok=True)
+    # minimal GPU-header stubs so the CPU paths compile host-only
+    stubs = {
+        "CL/cl.hpp": (
+            "#pragma once\ntypedef int cl_int;\ntypedef void* cl_mem;\n"
+            "typedef void* cl_command_queue;\ntypedef void* cl_context;\n"
+            "typedef void* cl_program;\ntypedef void* cl_kernel;\n"
+            "typedef void* cl_device_id;\n"
+            "namespace cl { class Buffer {}; class Device {}; class Error {};\n"
+            "class Context {}; class Program {}; class Kernel {};\n"
+            "class CommandQueue {}; class Platform {}; }\n"
+        ),
+        "CL/opencl.h": '#pragma once\n#include "CL/cl.hpp"\n',
+        "cuda_runtime.h": "typedef void* cudaStream_t;\n",
+        "harness.cpp": (
+            "#include <cstdio>\n#include <cstring>\n#include <vector>\n"
+            "extern int LzssEncodeMemory(unsigned char*,int,unsigned char*,int,int*);\n"
+            "extern int LzssDecodeMemory(unsigned char*,int,unsigned char*,int,int*);\n"
+            "int main(int argc, char** argv){\n"
+            "  std::vector<unsigned char> in; int ch;\n"
+            "  while((ch=getchar())!=EOF) in.push_back((unsigned char)ch);\n"
+            "  int n=(int)in.size();\n"
+            "  if(argc>1 && !strcmp(argv[1],\"-d\")){\n"
+            "    std::vector<unsigned char> out(10000000); int osz=0;\n"
+            "    if(LzssDecodeMemory(in.data(),n,out.data(),(int)out.size(),&osz)) return 2;\n"
+            "    fwrite(out.data(),1,osz,stdout);\n"
+            "  } else {\n"
+            "    std::vector<unsigned char> out(n+n/8+100); int osz=(int)out.size();\n"
+            "    if(LzssEncodeMemory(in.data(),n,out.data(),(int)out.size(),&osz)) return 2;\n"
+            "    fwrite(out.data(),1,osz,stdout);\n"
+            "  }\n  return 0;\n}\n"
+        ),
+    }
+    for rel, content in stubs.items():
+        with open(os.path.join(d, rel), "w") as f:
+            f.write(content)
+    srcs = [os.path.join(REF_LZSS_SRC, s)
+            for s in ("lzss.cpp", "brute.cpp", "bitmemory.cpp", "bitfile.cpp")]
+    r = subprocess.run(
+        ["g++", "-O2", "-I", d, "-I", REF_LZSS_SRC, "-o", exe,
+         os.path.join(d, "harness.cpp"), *srcs],
+        capture_output=True,
+    )
+    return exe if r.returncode == 0 and os.path.exists(exe) else None
+
+
+@pytest.mark.skipif(
+    _build_reference_oracle() is None,
+    reason="g++ or reference lzsslib sources unavailable",
+)
+def test_bit_exact_vs_reference_build():
+    """Encoder output is byte-identical to the reference's
+    LzssEncodeMemory, and both decoders accept each other's streams.
+    Inputs >= 18 bytes only: shorter ones make the reference's lookahead
+    read uninitialized stack memory (lzss.cpp:507-516), so only decode
+    interop is defined there (covered at the end)."""
+    exe = _build_reference_oracle()
+
+    def ref(data: bytes, *args: str) -> bytes:
+        p = subprocess.run([exe, *args], input=data, capture_output=True)
+        assert p.returncode == 0
+        return p.stdout
+
+    rng = random.Random(99)
+    for i in range(12):
+        n = rng.choice([18, 40, 300, 4096, 4100, 9000])
+        data = {
+            0: lambda: rng.randbytes(n),
+            1: lambda: (b"spark " * (n // 6 + 1))[:n],
+            2: lambda: bytes(rng.choice(b"ab ") for _ in range(n)),
+        }[i % 3]()
+        mine = lzss_encode(data)
+        assert mine == ref(data), f"encode mismatch at n={n}"
+        assert ref(mine, "-d") == data
+        assert lzss_decode(ref(data)) == data
+    for short in (b"x", b"hello", b"aaaaaaa", b" " * 17):
+        assert ref(lzss_encode(short), "-d") == short
+        assert lzss_decode(ref(short)) == short

@@ -396,3 +396,105 @@ def test_compact_crash_with_stranded_tmp_batches_recovers(spark, tmp_path):
     after_df = spark.read.parquet(path)
     after = sorted(map(tuple, after_df.select(*cols).collect()))
     assert before == after  # batch 1's rows survived the crash
+
+
+def test_dense_rank_ids_matches_global_sort(spark):
+    """The distributed rank (range partitions + per-partition offsets)
+    equals a global (ts, event_id) sort's row numbers — with NO Window
+    operator and no single-task global Sort in the plan."""
+    from datetime import datetime, timedelta
+
+    from dedup_gpu_stream_parallelism_spark.streaming import replay
+
+    base = datetime(2024, 3, 1)
+    rows = [
+        (i, base + timedelta(seconds=(i * 37) % 500), f"t{i % 3}")
+        for i in range(400)
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    ranked, n, parts = replay._dense_rank_ids(ev, ["ts", "event_id"])
+    try:
+        got = {r.event_id: r.rid for r in ranked.collect()}
+    finally:
+        parts.unpersist()
+    assert n == 400
+    want_order = sorted(rows, key=lambda r: (r[1], r[0]))
+    want = {r[0]: i for i, r in enumerate(want_order)}
+    assert got == want
+    plan = ranked._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    # the only sorts are per-partition: "Sort [cols], false, 0" — a global
+    # single-task sort would print "], true, 0"
+    assert "], true, 0" not in plan
+
+
+def test_window_replay_plan_has_no_global_window(spark, tmp_path):
+    """stream_window_stats_replay end-to-end on a small event set: result
+    equals the batch GROUP BY, and the rid assignment never routes through
+    a no-partition Window (the round-3 single-task-sort anti-pattern)."""
+    from datetime import datetime, timedelta
+
+    from dedup_gpu_stream_parallelism_spark.streaming import replay
+
+    base = datetime(2024, 5, 1)
+    rows = [
+        (i, base + timedelta(minutes=(i * 13) % 300), f"t{i % 2}", i % 7,
+         float(i % 11))
+        for i in range(120)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, "
+              "user_id long, value double"
+    )
+    out = replay.stream_window_stats_replay(
+        spark, ev, str(tmp_path / "w"), n_batches=3
+    )
+    got = {
+        (r.window_start_epoch, r.event_type): (r.n_events, r.sum_value_micro)
+        for r in out.collect()
+    }
+    batch = (
+        ev.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 1000000.0).cast("long")).alias(
+                "sum_value_micro"
+            ),
+        )
+        .select(
+            F.unix_timestamp("w.start").alias("window_start_epoch"),
+            "event_type", "n_events", "sum_value_micro",
+        )
+    )
+    want = {
+        (r.window_start_epoch, r.event_type): (r.n_events, r.sum_value_micro)
+        for r in batch.collect()
+    }
+    assert got == want
+
+
+def test_shared_staged_docs_stages_once(spark, tmp_path):
+    """Second caller for the same (dataset, process) reuses the slices:
+    marker present, file mtimes unchanged."""
+    import os
+
+    from dedup_gpu_stream_parallelism_spark.streaming import replay
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(20)], "doc_id bigint, text string"
+    )
+    tag_dir = str(tmp_path / "pseudo_sf")
+    os.makedirs(tag_dir, exist_ok=True)
+    src1 = replay.shared_staged_docs(docs, tag_dir)
+    stamps1 = {
+        f: os.path.getmtime(os.path.join(src1, f)) for f in os.listdir(src1)
+    }
+    src2 = replay.shared_staged_docs(docs, tag_dir)
+    stamps2 = {
+        f: os.path.getmtime(os.path.join(src2, f)) for f in os.listdir(src2)
+    }
+    assert src1 == src2
+    assert stamps1 == stamps2
+    assert "_staged" in stamps1

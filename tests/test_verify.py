@@ -41,6 +41,20 @@ def test_suffix_array_sorted():
         assert suffixes == sorted(s[i:] for i in range(len(s)))
 
 
+@given(st.text(alphabet="abcz ", max_size=300))
+@settings(max_examples=60, deadline=None)
+def test_vectorized_lcp_equals_kasai(s):
+    """lcp_from_ranks (binary decomposition over doubling rank tables, no
+    per-character loop) must equal the Kasai reference on any input."""
+    import numpy as np
+
+    codes = np.array([ord(c) for c in s], dtype=np.int64)
+    sa, ranks = verify.suffix_array(codes, return_ranks=True)
+    assert np.array_equal(
+        verify.lcp_from_ranks(sa, ranks), verify.lcp_array(codes, sa)
+    )
+
+
 def test_confirm_pairs_semantics(spark, cfg):
     base = "def compute(buffer, chunk): return hash(buffer) + len(chunk)\n" * 12
     near = base.replace("hash", "hsh2", 2)
