@@ -336,10 +336,11 @@ def q_compression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_compression_roundtrip_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compression validated BY DECODE, like the reference decoder
-    (decoder.cpp:107-197): unique store → compress (none, gzip, bzip2 AND
-    lzss — the reference's benchmark default, dedup.cpp:113-114) →
-    decompress → per-payload sha256 re-verify.  Puts the K1-K5 codecs
-    under the hard oracle signal (one row per unique payload per codec)."""
+    (decoder.cpp:107-197): unique store → compress (none, gzip, bzip2) →
+    decompress → per-payload sha256 re-verify.  Puts the K1/K2/K3 codecs
+    under the hard oracle signal (one row per unique payload per codec);
+    the bit-level LZSS codec gets its own query (``lzss_roundtrip_check``)
+    so its genuinely heavier encode cost is attributed to it."""
     from dedup_gpu_stream_parallelism_spark.operators import compress as cz
 
     _, store = exact_op.encode_store(_docs(spark, sf_dir), "doc_id", "text")
@@ -347,7 +348,6 @@ def q_compression_roundtrip_check(spark: SparkSession, sf_dir: str) -> DataFrame
         cz.compress_store(store, cz.COMPRESS_NONE)
         .unionByName(cz.compress_store(store, cz.COMPRESS_GZIP))
         .unionByName(cz.compress_store(store, cz.COMPRESS_BZIP2))
-        .unionByName(cz.compress_store(store, cz.COMPRESS_LZSS))
     )
     return (
         cz.decompress_store(both)
@@ -357,6 +357,27 @@ def q_compression_roundtrip_check(spark: SparkSession, sf_dir: str) -> DataFrame
             (F.sha2("payload", 256) == F.col("sha256")).cast("int").alias("sha_ok"),
         )
         .orderBy("sha256", "compress_type")
+    )
+
+
+def q_lzss_roundtrip_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The K4/K5/K6 bit-stream LZSS codec under the hard oracle signal:
+    every unique payload → the literal 1+12+4-bit token stream
+    (functions/lzss_codec.py, bit-exact vs the reference's
+    LzssEncodeMemory) → decode per decoder.cpp:168-190 → sha256
+    re-verify.  The reference's benchmark-default compression
+    (``-w lzss``, dedup.cpp:113-114) as a first-class query."""
+    from dedup_gpu_stream_parallelism_spark.operators import compress as cz
+
+    _, store = exact_op.encode_store(_docs(spark, sf_dir), "doc_id", "text")
+    return (
+        cz.decompress_store(cz.compress_store(store, cz.COMPRESS_LZSS))
+        .select(
+            "sha256",
+            "compress_type",
+            (F.sha2("payload", 256) == F.col("sha256")).cast("int").alias("sha_ok"),
+        )
+        .orderBy("sha256")
     )
 
 
@@ -640,6 +661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compression_payload_stats": q_compression_payload_stats,
         "chunk_compression_stats": q_chunk_compression_stats,
         "compression_roundtrip_check": q_compression_roundtrip_check,
+        "lzss_roundtrip_check": q_lzss_roundtrip_check,
         # rows-only: compressed byte counts are not SQL-computable
         "compression_stats": q_compression_stats,
         "lzss_estimate": q_lzss_estimate,
@@ -798,11 +820,16 @@ def oracle_sql() -> dict[str, str]:
             -- decode-validated compression: every unique payload must
             -- round-trip through each codec with its sha intact
             WITH u AS (SELECT DISTINCT sha256(text) AS sha256 FROM documents),
-                 c(compress_type) AS
-                   (VALUES ('none'), ('gzip'), ('bzip2'), ('lzss'))
+                 c(compress_type) AS (VALUES ('none'), ('gzip'), ('bzip2'))
             SELECT u.sha256, c.compress_type, 1 AS sha_ok
             FROM u CROSS JOIN c
             ORDER BY sha256, compress_type
+        """,
+        # the bit-level LZSS codec's own decode-verified round trip
+        "lzss_roundtrip_check": """
+            SELECT DISTINCT sha256(text) AS sha256, 'lzss' AS compress_type,
+                   1 AS sha_ok
+            FROM documents ORDER BY sha256
         """,
         "chunk_compression_stats": duck_sql.chunk_compression_stats_sql(),
         # full signature-pipeline oracles (bit-identical integer hashing)

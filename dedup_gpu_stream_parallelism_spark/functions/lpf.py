@@ -101,11 +101,18 @@ def windowed_match_lengths(
     occurrence, so one vectorized distance check settles the window
     constraint.  O(n log max_len) sorts, all numpy.
     """
-    n = len(text)
+    return windowed_match_lengths_codes(text_codes(text), window, max_len)
+
+
+def windowed_match_lengths_codes(
+    codes: np.ndarray, window: int = WINDOW_SIZE, max_len: int = MAX_CODED
+) -> np.ndarray:
+    """``windowed_match_lengths`` over an integer code array (shared by the
+    LZSS bit codec's skip filter, which runs it on raw bytes)."""
+    n = len(codes)
     out = np.zeros(n, dtype=np.int64)
     if n < 4:  # a length-3 match needs at least 4 chars
         return out
-    codes = text_codes(text)
     # rank_p[i] = equality class of text[i:i+p], for p = 1,2,4,8,16
     ranks: dict[int, np.ndarray] = {1: np.unique(codes, return_inverse=True)[1]}
     p = 1

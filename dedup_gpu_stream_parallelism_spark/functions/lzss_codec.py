@@ -95,6 +95,50 @@ def _put_offset_bits(w: _BitWriter, offset: int) -> None:
     w.put((offset >> 8) & 0xF, 4)
 
 
+def _skip_filter(V: np.ndarray, n: int) -> np.ndarray:
+    """U[c] — an exact-or-overestimating bound on the C matcher's match
+    length at consumed-count ``c`` (for positions with a full 18-byte
+    lookahead).  Positions with ``U <= MAX_UNCODED`` are PROVABLY uncoded,
+    so the greedy loop emits their literal without any window scan — the
+    O(window) FindMatch then runs only at (potentially) coded positions.
+
+    Two exact components, maxed:
+
+    * far candidates (distance 18..4096) extend contiguously, so the
+      rank-table windowed matcher gives their true lengths (computed over
+      distance 1..4096 — the extra near-contiguous lengths can only
+      overestimate, which is safe for a skip filter);
+    * near candidates (distance 1..17) follow the C circular-wrap rule —
+      bytes past the window head come from 4096 positions back — computed
+      directly as 17 vectorized leading-AND runs.
+    """
+    from dedup_gpu_stream_parallelism_spark.functions.lpf import (
+        windowed_match_lengths_codes,
+    )
+
+    N = V.shape[0]
+    u1 = windowed_match_lengths_codes(V, WINDOW_SIZE, MAX_CODED)[WINDOW_SIZE:]
+    # pad so t+j reads past the end are defined (tail positions use the
+    # slow path anyway — their U values are never consulted)
+    Vp = np.concatenate([V, np.zeros(MAX_CODED, dtype=np.uint8)])
+    u2 = np.zeros(n, dtype=np.int64)
+    t0 = WINDOW_SIZE
+    for d in range(1, MAX_CODED):
+        run = np.ones(n, dtype=bool)
+        ln = np.zeros(n, dtype=np.int64)
+        for j in range(MAX_CODED):
+            if j < d:
+                a = Vp[t0 - d + j : t0 - d + j + n]
+            else:
+                a = Vp[t0 - d + j - WINDOW_SIZE : t0 - d + j - WINDOW_SIZE + n]
+            run &= a == Vp[t0 + j : t0 + j + n]
+            if not run.any():
+                break
+            ln += run
+        np.maximum(u2, ln, out=u2)
+    return np.maximum(u1, u2)
+
+
 def lzss_encode(data: bytes) -> bytes:
     """Byte stream identical to ``LzssEncodeMemory`` on the same input
     (modulo the uninitialized-memory caveat in the module docstring).
@@ -113,10 +157,18 @@ def lzss_encode(data: bytes) -> bytes:
     V[WINDOW_SIZE:] = np.frombuffer(data, dtype=np.uint8)
     w = _BitWriter()
     jj = np.arange(MAX_CODED)
+    U = _skip_filter(V, n)
+    src_bytes = data  # plain bytes for the literal fast path
     c = 0
     while c < n:
         remaining = n - c
         if remaining >= MAX_CODED:
+            if U[c] <= MAX_UNCODED:
+                # provably no match > MAX_UNCODED: literal, no window scan
+                w.put(1, 1)
+                w.put(src_bytes[c], 8)
+                c += 1
+                continue
             lk = V[WINDOW_SIZE + c : WINDOW_SIZE + c + MAX_CODED]
         else:
             # tail: ring slots past the input hold the bytes consumed
@@ -128,14 +180,24 @@ def lzss_encode(data: bytes) -> bytes:
         cand = np.flatnonzero(V[c : c + WINDOW_SIZE] == lk[0])
         best_k, mlen = -1, 0
         if cand.size:
+            # first-scan-order length-1 fallback, then collapse the set
+            # with one 2nd-byte refinement (most candidates die here),
+            # then a one-shot K x 16 compare on the survivors: leading
+            # run per row; first argmax == C's first-scan-order winner
+            # (and its break at the first length-18 candidate)
             best_k, mlen = int(cand[0]), 1
-            for j in range(1, MAX_CODED):
-                idx = cand + j
+            idx = cand + 1
+            src = c + np.where(idx >= WINDOW_SIZE, idx - WINDOW_SIZE, idx)
+            cand = cand[V[src] == lk[1]]
+            if cand.size:
+                idx = cand[:, None] + jj[None, 2:]
                 src = c + np.where(idx >= WINDOW_SIZE, idx - WINDOW_SIZE, idx)
-                cand = cand[V[src] == lk[j]]
-                if cand.size == 0:
-                    break
-                best_k, mlen = int(cand[0]), j + 1
+                neq = V[src] != lk[None, 2:]
+                lens = 2 + np.where(
+                    neq.any(axis=1), neq.argmax(axis=1), MAX_CODED - 2
+                )
+                at = int(lens.argmax())
+                best_k, mlen = int(cand[at]), int(lens[at])
         if mlen > remaining:
             mlen = remaining  # garbage-extended tail match, clamped
         if mlen <= MAX_UNCODED:

@@ -137,11 +137,16 @@ def export_ddp(
     ).select("doc_id", "chunk_idx", "chunk_text")
     if n_shards is None:
         # pre-dedup text bytes upper-bound the stream (compression and
-        # fingerprint records only shrink it); one cheap column-pruned agg
+        # fingerprint records only shrink it); one cheap column-pruned agg.
+        # target_shard_bytes is an UPPER bound on shard size (executor
+        # memory / binaryFile 2 GiB contract) — more, smaller shards are
+        # always safe, so small corpora still export cluster-wide instead
+        # of serializing on one task
         total = docs.select(
             F.sum(F.octet_length(text_col)).alias("chars")
         ).first()["chars"] or 0
-        n_shards = max(1, -(-int(total) // max(1, target_shard_bytes)))
+        by_bytes = -(-int(total) // max(1, target_shard_bytes))
+        n_shards = max(1, by_bytes, min(spark.sparkContext.defaultParallelism, 64))
     arranged = chunks.repartitionByRange(n_shards, "doc_id").sortWithinPartitions(
         "doc_id", "chunk_idx"
     )

@@ -304,13 +304,19 @@ def stream_window_stats_replay(
     )
     # replay ids in event-time order → range batches = time-ordered
     # batches.  Distributed dense rank (range partitions + offsets), NOT a
-    # no-partition Window.orderBy — that would sort every event in one task
+    # no-partition Window.orderBy — that would sort every event in one
+    # task.  Materialize the ranked frame once; the per-slice filters then
+    # scan parquet instead of re-running the rank pass four times.
     ranked, n, parts = _dense_rank_ids(ev, ["ts", "event_id"])
-    rid = ranked.select("rid", "ts", "event_type", "user_id", "value")
-    srcdir = os.path.join(workdir, "src")
-    stage_range_batches(rid, srcdir, n_batches, id_col="rid", n=n)
+    rid_path = os.path.join(workdir, "ranked.parquet")
+    ranked.select("rid", "ts", "event_type", "user_id", "value").write.mode(
+        "overwrite"
+    ).parquet(rid_path)
     max_ts = parts.agg(F.max("ts")).first()[0]
     parts.unpersist()
+    rid = spark.read.parquet(rid_path)
+    srcdir = os.path.join(workdir, "src")
+    stage_range_batches(rid, srcdir, n_batches, id_col="rid", n=n)
     if not n:
         # no events → no windows; nothing for a sentinel to flush
         return spark.createDataFrame(
