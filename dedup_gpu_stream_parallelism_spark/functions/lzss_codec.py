@@ -60,6 +60,9 @@ WINDOW_SIZE = 1 << OFFSET_BITS      # 4096
 MAX_UNCODED = 2
 MAX_CODED = (1 << LENGTH_BITS) + MAX_UNCODED  # 18
 _SPACE = 0x20
+# above this, the encode skip-filter's O(n) int64 temporaries (~80 B per
+# input byte) would rival executor memory — fall back to per-token scans
+_SKIP_FILTER_MAX_BYTES = 64 << 20
 
 
 class _BitWriter:
@@ -111,6 +114,12 @@ def _skip_filter(V: np.ndarray, n: int) -> np.ndarray:
     * near candidates (distance 1..17) follow the C circular-wrap rule —
       bytes past the window head come from 4096 positions back — computed
       directly as 17 vectorized leading-AND runs.
+
+    Memory: ~80 bytes per input byte of int64 temporaries (the doubling
+    rank tables).  Payloads here are unique chunks/docs (KBs..MBs); above
+    ``_SKIP_FILTER_MAX_BYTES`` the filter is skipped and every position
+    takes the exact per-token scan — unbounded-size inputs stay correct,
+    just slower.
     """
     from dedup_gpu_stream_parallelism_spark.functions.lpf import (
         windowed_match_lengths_codes,
@@ -157,13 +166,13 @@ def lzss_encode(data: bytes) -> bytes:
     V[WINDOW_SIZE:] = np.frombuffer(data, dtype=np.uint8)
     w = _BitWriter()
     jj = np.arange(MAX_CODED)
-    U = _skip_filter(V, n)
+    U = _skip_filter(V, n) if n <= _SKIP_FILTER_MAX_BYTES else None
     src_bytes = data  # plain bytes for the literal fast path
     c = 0
     while c < n:
         remaining = n - c
         if remaining >= MAX_CODED:
-            if U[c] <= MAX_UNCODED:
+            if U is not None and U[c] <= MAX_UNCODED:
                 # provably no match > MAX_UNCODED: literal, no window scan
                 w.put(1, 1)
                 w.put(src_bytes[c], 8)
