@@ -45,8 +45,17 @@ def run_queries(sf_dir: str, cpus: int) -> dict:
     qs = entry_mod.queries()
     timings: dict[str, float] = {}
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
-    # warm the JVM + python workers once so per-query numbers are steady-state
+    # warm the JVM once so per-query numbers are steady-state
     spark.range(1000).selectExpr("sum(id)").collect()
+    # ...and the python/Arrow worker pool: a JVM-only warmup leaves the
+    # FIRST UDF-bearing query paying the whole worker spawn (measured
+    # ~8-14 s at 16-32 slots) — one trivial mapInPandas over one task per
+    # slot spawns them all up front
+    spark.range(10_000).repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(lambda it: it, schema="id long").write.format("noop").mode(
+        "overwrite"
+    ).save()
     total0 = time.monotonic()
     for name, fn in qs.items():
         t0 = time.monotonic()

@@ -46,6 +46,29 @@ def cpu_probe() -> float:
     return time.perf_counter() - t0
 
 
+def mt_probe() -> float:
+    """8-thread aggregate sha256 MiB/s (hashlib releases the GIL).  The
+    single-thread probe misses hypervisor-neighbor contention: round 4
+    measured identical single-core speed but ~25% lower multi-core
+    aggregate hours apart on a loadavg-0 guest.  Recorded per run as
+    diagnosis context; not (yet) a gate — the honest baseline varies by
+    time of day on shared silicon."""
+    import hashlib
+    from concurrent.futures import ThreadPoolExecutor
+
+    buf = b"\xab" * (1 << 20)
+
+    def one(_):
+        h = hashlib.sha256()
+        for _ in range(64):
+            h.update(buf)
+
+    t0 = time.perf_counter()
+    with ThreadPoolExecutor(8) as ex:
+        list(ex.map(one, range(8)))
+    return 8 * 64 / (time.perf_counter() - t0)
+
+
 def host_probe() -> dict:
     load1 = float(open("/proc/loadavg").read().split()[0])
     probe = cpu_probe()
@@ -54,6 +77,7 @@ def host_probe() -> dict:
         "loadavg_1m": load1,
         "probe_sec": round(probe, 3),
         "probe_slowdown": round(ratio, 3),
+        "mt_aggregate_mibs": round(mt_probe(), 0),
         "idle": load1 <= LOADAVG_1M_MAX and ratio <= PROBE_SLOWDOWN_MAX,
     }
 
