@@ -370,6 +370,9 @@ def q_lzss_roundtrip_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dedup_gpu_stream_parallelism_spark.operators import compress as cz
 
     _, store = exact_op.encode_store(_docs(spark, sf_dir), "doc_id", "text")
+    # the codec is CPU-bound python, not I/O: spread it to cluster width
+    # (AQE would coalesce a small store to ONE partition and serialize it)
+    store = store.repartition(spark.sparkContext.defaultParallelism)
     return (
         cz.decompress_store(cz.compress_store(store, cz.COMPRESS_LZSS))
         .select(

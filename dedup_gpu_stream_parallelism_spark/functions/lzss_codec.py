@@ -84,6 +84,23 @@ class _BitWriter:
             self.out.append((self.acc >> self.nbits) & 0xFF)
         self.acc &= (1 << self.nbits) - 1
 
+    def put_bit_array(self, bits: np.ndarray) -> None:
+        """Append an MSB-first 0/1 uint8 array in one numpy pass —
+        whole literal runs go through packbits instead of per-byte
+        python calls."""
+        if self.nbits:
+            lead = np.empty(self.nbits, dtype=np.uint8)
+            for i in range(self.nbits):  # <= 7 buffered bits
+                lead[i] = (self.acc >> (self.nbits - 1 - i)) & 1
+            bits = np.concatenate([lead, bits])
+            self.acc = 0
+            self.nbits = 0
+        nbytes = bits.size // 8
+        self.out += np.packbits(bits[: nbytes * 8]).tobytes()
+        for b in bits[nbytes * 8 :]:  # <= 7 tail bits back into the buffer
+            self.acc = (self.acc << 1) | int(b)
+            self.nbits += 1
+
     def tobytes(self) -> bytes:
         if self.nbits:
             self.out.append((self.acc << (8 - self.nbits)) & 0xFF)
@@ -105,28 +122,41 @@ def _skip_filter(V: np.ndarray, n: int) -> np.ndarray:
     so the greedy loop emits their literal without any window scan — the
     O(window) FindMatch then runs only at (potentially) coded positions.
 
-    Two exact components, maxed:
+    Two components, maxed:
 
-    * far candidates (distance 18..4096) extend contiguously, so the
-      rank-table windowed matcher gives their true lengths (computed over
-      distance 1..4096 — the extra near-contiguous lengths can only
-      overestimate, which is safe for a skip filter);
+    * far candidates (distance 18..4096) extend contiguously, so a
+      3-byte-key repeat within the window flags every position where one
+      could reach length 3 (computed over distance 1..4096 — the extra
+      near-contiguous hits can only overestimate, which is safe for a
+      skip filter);
     * near candidates (distance 1..17) follow the C circular-wrap rule —
       bytes past the window head come from 4096 positions back — computed
-      directly as 17 vectorized leading-AND runs.
+      exactly as 17 vectorized leading-AND runs.
 
-    Memory: ~80 bytes per input byte of int64 temporaries (the doubling
-    rank tables).  Payloads here are unique chunks/docs (KBs..MBs); above
-    ``_SKIP_FILTER_MAX_BYTES`` the filter is skipped and every position
-    takes the exact per-token scan — unbounded-size inputs stay correct,
-    just slower.
+    Memory: ~32 bytes per input byte of int64 temporaries.  Payloads here
+    are unique chunks/docs (KBs..MBs); above ``_SKIP_FILTER_MAX_BYTES``
+    the filter is skipped and every position takes the exact per-token
+    scan — unbounded-size inputs stay correct, just slower.
+
+    Only the BOOLEAN "some match reaches 3" matters (the greedy emits a
+    literal at <= MAX_UNCODED either way), so the far component needs one
+    stable argsort of direct 3-byte keys — not the full 16-level rank
+    table build, which dominated tiny payloads.
     """
-    from dedup_gpu_stream_parallelism_spark.functions.lpf import (
-        windowed_match_lengths_codes,
-    )
-
     N = V.shape[0]
-    u1 = windowed_match_lengths_codes(V, WINDOW_SIZE, MAX_CODED)[WINDOW_SIZE:]
+    # far/contiguous: position i has a 3-byte match at distance <= 4096
+    # iff its 3-byte key repeats within the window — stable sort makes
+    # each key-run position-ascending, so adjacent-in-run distance is the
+    # nearest-occurrence distance
+    v32 = V.astype(np.int32)
+    k3 = (v32[: N - 2] << 16) | (v32[1 : N - 1] << 8) | v32[2:]
+    order = np.argsort(k3, kind="stable")
+    same = k3[order[1:]] == k3[order[:-1]]
+    cur, prev = order[1:][same], order[:-1][same]
+    ok = cur - prev <= WINDOW_SIZE
+    u1 = np.zeros(N, dtype=np.int64)
+    u1[cur[ok]] = 3
+    u1 = u1[WINDOW_SIZE:]
     # pad so t+j reads past the end are defined (tail positions use the
     # slow path anyway — their U values are never consulted)
     Vp = np.concatenate([V, np.zeros(MAX_CODED, dtype=np.uint8)])
@@ -167,16 +197,29 @@ def lzss_encode(data: bytes) -> bytes:
     w = _BitWriter()
     jj = np.arange(MAX_CODED)
     U = _skip_filter(V, n) if n <= _SKIP_FILTER_MAX_BYTES else None
-    src_bytes = data  # plain bytes for the literal fast path
+    maybe_coded = None
+    if U is not None:
+        # fast-path positions (full 18-byte lookahead) that might code;
+        # everything between two of these is a pure literal run
+        lim = max(0, n - MAX_CODED + 1)
+        maybe_coded = np.flatnonzero(U[:lim] > MAX_UNCODED)
     c = 0
     while c < n:
         remaining = n - c
         if remaining >= MAX_CODED:
             if U is not None and U[c] <= MAX_UNCODED:
-                # provably no match > MAX_UNCODED: literal, no window scan
-                w.put(1, 1)
-                w.put(src_bytes[c], 8)
-                c += 1
+                # provably literal until the next maybe-coded position —
+                # emit the whole run as one vectorized 9-bits-per-byte pack
+                at = np.searchsorted(maybe_coded, c)
+                e = int(maybe_coded[at]) if at < maybe_coded.size else lim
+                run = np.unpackbits(
+                    V[WINDOW_SIZE + c : WINDOW_SIZE + e, None], axis=1
+                )
+                flagged = np.empty((e - c, 9), dtype=np.uint8)
+                flagged[:, 0] = 1  # UNCODED flag per literal
+                flagged[:, 1:] = run
+                w.put_bit_array(flagged.ravel())
+                c = e
                 continue
             lk = V[WINDOW_SIZE + c : WINDOW_SIZE + c + MAX_CODED]
         else:
