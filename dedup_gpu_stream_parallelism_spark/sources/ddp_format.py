@@ -28,6 +28,12 @@ the reference's single-file output is the one-shard case).  A sidecar
 stream records belong to each doc so import can re-split the chunk
 sequence; import joins it per-shard (no driver broadcast) and walks each
 shard independently — embarrassingly parallel at any shard count.
+
+Storage backends: shard bytes go through a pluggable ``ByteSink``
+(sources/byte_sink.py) — POSIX by default, ``ArrowFsByteSink`` for
+``s3://`` / ``hdfs://`` deployments; the ``_doc_index`` parquet and the
+import-side binaryFile scan use Spark's own Hadoop IO and accept any
+supported URI directly.
 """
 
 from __future__ import annotations
@@ -95,6 +101,10 @@ def pack_record(rtype: int, payload: bytes) -> bytes:
     return struct.pack("<B", rtype) + struct.pack("<Q", len(payload)) + payload
 
 
+# binaryFile refuses content above 2 GiB; leave rename/retry headroom
+_SHARD_HARD_LIMIT = (2 << 30) - (64 << 20)
+
+
 def export_ddp(
     docs: DataFrame,
     out_dir: str,
@@ -104,33 +114,44 @@ def export_ddp(
     n_shards: int | None = None,
     compress_type: str = "gzip",
     target_shard_bytes: int = DEFAULT_SHARD_BYTES,
+    sink=None,
 ) -> DataFrame:
     """Write ``docs`` as ``shard-NNNNN.ddp`` byte streams under ``out_dir``
     plus the ``_doc_index`` sidecar; returns the doc-index DataFrame.
 
-    ``out_dir`` must be a path every executor can write (shared storage on
-    a cluster; any local dir in local mode).  Docs whose text is shorter
-    than one chunk (empty) produce no records and no index row — import's
-    caller left-joins the doc list, exactly like the columnar round trip.
+    ``sink`` picks the storage backend (sources/byte_sink.py):
+    ``PosixByteSink`` by default (local or shared-POSIX ``out_dir``);
+    pass ``ArrowFsByteSink()`` with an ``s3://`` / ``hdfs://`` ``out_dir``
+    on object-store-backed clusters — the ``_doc_index`` parquet goes
+    through Spark's own Hadoop writers either way.  Docs whose text is
+    shorter than one chunk (empty) produce no records and no index row —
+    import's caller left-joins the doc list, exactly like the columnar
+    round trip.
 
     Memory contract: shard count derives from the corpus's text bytes and
     ``target_shard_bytes`` (NOT from cluster parallelism), records are
-    appended to the open shard file as they are packed (the format is
+    appended to the open shard stream as they are packed (the format is
     strictly sequential), and each task attempt stages to a private tmp
-    published by an atomic rename — so executor memory is bounded by one
-    Arrow batch regardless of corpus size, a shard never exceeds the
-    binaryFile source's 2 GiB content limit, and task retries or
-    speculative attempts cannot interleave half-written streams.  Stale
-    ``shard-NNNNN.ddp`` files from a previous wider export into the same
-    dir are removed after the index commits.
+    published by a rename — so executor memory is bounded by one Arrow
+    batch regardless of corpus size, and task retries or speculative
+    attempts cannot interleave half-written streams.  ``repartitionByRange``
+    balances sampled ROW counts, so ``target_shard_bytes`` is an
+    approximate bound under uniform doc sizes, not a guarantee under
+    doc-size skew — the writer hard-fails any shard that would cross the
+    binaryFile source's 2 GiB content limit instead of exporting a stream
+    import would reject.  Stale ``shard-NNNNN.ddp`` files from a previous
+    wider export into the same dir are removed after the index commits.
     """
     from pyspark import TaskContext
+
+    from dedup_gpu_stream_parallelism_spark.sources.byte_sink import PosixByteSink
 
     cfg = cfg or DedupConfig()
     spark = docs.sparkSession
     enc, _ = _codecs(compress_type)
     header = pack_header(compress_type)
-    os.makedirs(out_dir, exist_ok=True)
+    sink = sink or PosixByteSink()
+    sink.makedirs(out_dir)
 
     chunks = chunk_documents(
         docs, cfg, id_col=id_col, text_col=text_col, with_payload=True
@@ -138,10 +159,8 @@ def export_ddp(
     if n_shards is None:
         # pre-dedup text bytes upper-bound the stream (compression and
         # fingerprint records only shrink it); one cheap column-pruned agg.
-        # target_shard_bytes is an UPPER bound on shard size (executor
-        # memory / binaryFile 2 GiB contract) — more, smaller shards are
-        # always safe, so small corpora still export cluster-wide instead
-        # of serializing on one task
+        # More, smaller shards are always safe, so small corpora still
+        # export cluster-wide instead of serializing on one task
         total = docs.select(
             F.sum(F.octet_length(text_col)).alias("chars")
         ).first()["chars"] or 0
@@ -150,6 +169,8 @@ def export_ddp(
     arranged = chunks.repartitionByRange(n_shards, "doc_id").sortWithinPartitions(
         "doc_id", "chunk_idx"
     )
+    # captured by value so the closure ships the driver-time limit
+    hard_limit = _SHARD_HARD_LIMIT
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -162,8 +183,9 @@ def export_ddp(
         doc_nchunks: list[int] = []
         path = os.path.join(out_dir, f"shard-{shard:05d}.ddp")
         tmp = f"{path}.tmp-{attempt}"
+        written = len(header)
         try:
-            with open(tmp, "wb") as f:
+            with sink.open_write(tmp) as f:
                 f.write(header)
                 for pdf in batches:
                     for doc_id, payload in zip(pdf["doc_id"], pdf["chunk_text"]):
@@ -174,19 +196,27 @@ def export_ddp(
                         )
                         sha1 = hashlib.sha1(raw).digest()
                         if sha1 in seen:
-                            f.write(pack_record(TYPE_FINGERPRINT, sha1))
+                            rec = pack_record(TYPE_FINGERPRINT, sha1)
                         else:
                             seen.add(sha1)
-                            f.write(pack_record(TYPE_COMPRESS, enc(raw)))
+                            rec = pack_record(TYPE_COMPRESS, enc(raw))
+                        written += len(rec)
+                        if written > hard_limit:
+                            raise ValueError(
+                                f"shard {shard} would exceed the binaryFile "
+                                f"2 GiB content limit (doc-size skew?); "
+                                f"re-export with a smaller target_shard_bytes"
+                            )
+                        f.write(rec)
                         if not doc_ids or doc_ids[-1] != int(doc_id):
                             doc_ids.append(int(doc_id))
                             doc_nchunks.append(0)
                         doc_nchunks[-1] += 1
             # header-only shards are valid streams too (empty partition)
-            os.replace(tmp, path)
+            sink.publish(tmp, path)
         finally:
-            if os.path.exists(tmp):
-                os.remove(tmp)
+            if sink.exists(tmp):
+                sink.delete(tmp)
         yield pd.DataFrame(
             {
                 "shard_id": pd.array([shard] * len(doc_ids), dtype="int32"),
@@ -201,13 +231,12 @@ def export_ddp(
     index.write.mode("overwrite").parquet(os.path.join(out_dir, "_doc_index"))
     # a previous export with MORE shards leaves stale files that would
     # shadow this one on import — drop anything past the new width
-    import glob as _glob
     import re as _re
 
-    for f in _glob.glob(os.path.join(out_dir, "shard-*.ddp*")):
-        m = _re.search(r"shard-(\d+)\.ddp", f)
-        if m and (int(m.group(1)) >= n_shards or not f.endswith(".ddp")):
-            os.remove(f)
+    for name in sink.list_names(out_dir):
+        m = _re.search(r"^shard-(\d+)\.ddp", name)
+        if m and (int(m.group(1)) >= n_shards or not name.endswith(".ddp")):
+            sink.delete(os.path.join(out_dir, name))
     return spark.read.parquet(os.path.join(out_dir, "_doc_index"))
 
 
@@ -257,7 +286,7 @@ def decode_stream(blob: bytes) -> list[bytes]:
     return chunks
 
 
-def import_ddp(spark: SparkSession, out_dir: str) -> DataFrame:
+def import_ddp(spark: SparkSession, out_dir: str, sink=None) -> DataFrame:
     """Decode every shard back to ``(doc_id, data binary)``.
 
     One binaryFile scan of the shards joined (on shard_id — no driver
@@ -274,10 +303,16 @@ def import_ddp(spark: SparkSession, out_dir: str) -> DataFrame:
     ``dedup -u`` would write for that file (decoder.cpp:274-276).
     ``out_dir`` may also be a single ``.ddp`` FILE (a reference
     ``dedup -c`` output, any name): it imports as one doc with id 0.
-    """
-    import glob
 
-    if os.path.isfile(out_dir):
+    The bulk data moves through Spark's binaryFile source (any Hadoop
+    filesystem); ``sink`` only answers the layout probes (is it a file?
+    is there an index?) — pass the same ``ArrowFsByteSink`` used for an
+    object-store export.
+    """
+    from dedup_gpu_stream_parallelism_spark.sources.byte_sink import PosixByteSink
+
+    sink = sink or PosixByteSink()
+    if sink.is_file(out_dir):
         # one reference-produced stream, arbitrary filename
         single = (
             spark.read.format("binaryFile")
@@ -290,7 +325,11 @@ def import_ddp(spark: SparkSession, out_dir: str) -> DataFrame:
             F.lit(None).cast("array<struct<doc_id:bigint,n_chunks:bigint>>"),
         )
         return _walk_shards(joined, has_index)
-    if not glob.glob(os.path.join(out_dir, "shard-*.ddp")):
+    import re as _re
+
+    if not any(
+        _re.fullmatch(r"shard-\d+\.ddp", n) for n in sink.list_names(out_dir)
+    ):
         # empty corpus exported zero shards (every partition empty before
         # the UDF ran) — nothing to decode
         return spark.createDataFrame([], "doc_id bigint, data binary")
@@ -304,7 +343,7 @@ def import_ddp(spark: SparkSession, out_dir: str) -> DataFrame:
             "content",
         )
     )
-    has_index = os.path.exists(os.path.join(out_dir, "_doc_index"))
+    has_index = sink.exists(os.path.join(out_dir, "_doc_index"))
     if has_index:
         index = (
             spark.read.parquet(os.path.join(out_dir, "_doc_index"))

@@ -92,18 +92,27 @@ def shared_staged_docs(
     n_batches: int = REPLAY_BATCHES,
     id_col: str = "doc_id",
 ) -> str:
-    """Stage ``docs`` as replay slices ONCE per (dataset, process) and
-    return the srcdir; later callers in the same process (the dedup and
-    near-dup replays read identical slices) reuse the files instead of
-    re-counting and re-writing them.  Slices are immutable once the
-    ``_staged`` marker lands, so sharing cannot race: the marker is
-    written only after every slice file is in place."""
+    """Stage ``docs`` as replay slices ONCE per (dataset, projection,
+    process) and return the srcdir; later callers in the same process (the
+    dedup and near-dup replays read identical slices) reuse the files
+    instead of re-counting and re-writing them.  The cache key folds in the
+    frame's schema, so a differently-projected frame of the same dataset
+    stages its own slices rather than silently reusing mismatched ones —
+    but the schema can't see a FILTERED frame, so callers must pass the
+    same unfiltered dataset read (both shipping callers do).  Slices are
+    immutable once the ``_staged`` marker lands, so sharing cannot race:
+    the marker is written only after every slice file is in place.
+    Staged dirs of dead processes are swept on entry."""
     import hashlib
 
-    digest = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    digest = hashlib.md5(
+        os.path.abspath(sf_dir).encode()
+        + docs.schema.simpleString().encode()
+    ).hexdigest()[:8]
+    root = os.path.join("/tmp", "spark_graft_stream")
+    _sweep_dead_pid_dirs(root)
     srcdir = os.path.join(
-        "/tmp", "spark_graft_stream",
-        f"staged_{id_col}_{n_batches}_{digest}_{os.getpid()}",
+        root, f"staged_{id_col}_{n_batches}_{digest}_{os.getpid()}"
     )
     marker = os.path.join(srcdir, "_staged")
     if not os.path.exists(marker):
@@ -111,6 +120,24 @@ def shared_staged_docs(
         stage_range_batches(docs, srcdir, n_batches, id_col=id_col)
         open(marker, "w").close()
     return srcdir
+
+
+def _sweep_dead_pid_dirs(root: str) -> None:
+    """Remove staged/work dirs whose trailing ``_<pid>`` process is gone —
+    keeps repeated sessions from accumulating slice copies under /tmp.
+    Live processes (concurrent driver grading + bench runs) are left
+    alone; a pid recycled onto an unrelated process at worst keeps one
+    stale dir until the next sweep."""
+    try:
+        names = os.listdir(root)
+    except FileNotFoundError:
+        return
+    for name in names:
+        pid_part = name.rsplit("_", 1)[-1]
+        if not pid_part.isdigit() or int(pid_part) == os.getpid():
+            continue
+        if not os.path.exists(f"/proc/{pid_part}"):
+            shutil.rmtree(os.path.join(root, name), ignore_errors=True)
 
 
 def _dense_rank_ids(
@@ -125,9 +152,11 @@ def _dense_rank_ids(
     pass adds ``offset + local_index`` — two small jobs, every stage as
     wide as the cluster (the fix for the no-partition ``Window.orderBy``
     anti-pattern, which moves ALL rows through one task).  Returns
-    ``(ranked_df, n_rows)``; the ranked frame is persisted (the partition
-    boundaries that the offsets were computed against must be the ones
-    the rank pass sees) — caller unpersists after materializing."""
+    ``(ranked_df, n_rows, parts)`` where ``parts`` is the persisted
+    range-partitioned frame the ranks were computed against (the partition
+    boundaries the offsets saw must be the ones the rank pass sees) —
+    the CALLER must ``parts.unpersist()`` after materializing
+    ``ranked_df``."""
     spark = df.sparkSession
     n_parts = n_parts or spark.sparkContext.defaultParallelism
     parts = (

@@ -27,6 +27,8 @@ CASES = {
     "tpch_pricing_summary": "l_quantity predicate in PushedFilters; ReadSchema pruned to 5 columns; partial HashAggregate before the exchange",
     "tpch_region_revenue": "region/nation joined via BroadcastHashJoin (no shuffle for dims); big joins shuffle on keys under AQE",
     "confirmed_pairs": "FUSED candidate generation: ONE MapInPandas text pass emits signatures+chunk keys, ONE groupBy exchange buckets both key spaces, then the verify UDF",
+    "lzss_roundtrip_check": "explicit Exchange RoundRobinPartitioning to cluster width feeding the codec MapInPandas — the CPU-bound-python stage AQE would otherwise coalesce onto ONE partition (round-4 lesson: 37.7 s serialized)",
+    "incremental_dedup_manifest": "append path: new-batch hash exchange + anti-join against the existing manifest; the old manifest is never rewritten (round-5 clamp-A/B target)",
 }
 
 

@@ -306,3 +306,56 @@ def test_none_codec_stream_is_raw(spark, cfg, tmp_path):
     gz = first_payload(os.path.join(out_g, "shard-00000.ddp"))
     assert raw == zlib.decompress(gz)
     assert raw.decode() == text[: len(raw)]
+
+
+def test_arrow_fs_sink_matches_posix(spark, cfg, tmp_path):
+    """The pyarrow.fs-backed sink (the object-store deployment path)
+    produces byte-identical shards to the POSIX default, and both the
+    export and the import layout probes work through it."""
+    from pyarrow import fs as pafs
+
+    from dedup_gpu_stream_parallelism_spark.sources.byte_sink import (
+        ArrowFsByteSink,
+        PosixByteSink,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} body " + "shared tail " * 30) for i in range(8)],
+        "doc_id bigint, text string",
+    )
+    out_p = str(tmp_path / "ddp_posix")
+    out_a = str(tmp_path / "ddp_arrow")
+    ddp.export_ddp(docs, out_p, cfg, n_shards=2, sink=PosixByteSink())
+    sink = ArrowFsByteSink(pafs.LocalFileSystem())
+    ddp.export_ddp(docs, out_a, cfg, n_shards=2, sink=sink)
+    for name in ("shard-00000.ddp", "shard-00001.ddp"):
+        a = open(os.path.join(out_a, name), "rb").read()
+        p = open(os.path.join(out_p, name), "rb").read()
+        assert a == p and a[:4] == struct.pack("<i", ddp.CHECKBIT)
+    # no staging tmp files left behind by publish()
+    assert all(n.endswith(".ddp") or n == "_doc_index"
+               for n in os.listdir(out_a))
+    got = {
+        r.doc_id: bytes(r.data)
+        for r in ddp.import_ddp(spark, out_a, sink=sink).collect()
+    }
+    want = {r.doc_id: r.text.encode() for r in docs.collect()}
+    assert got == want
+
+
+def test_export_rejects_shard_over_binaryfile_limit(spark, cfg, tmp_path, monkeypatch):
+    """A shard that would cross the binaryFile 2 GiB content limit fails
+    the export with a clear message instead of writing a stream the
+    import side would reject (doc-size-skew guard)."""
+    monkeypatch.setattr(ddp, "_SHARD_HARD_LIMIT", 64)
+    docs = spark.createDataFrame(
+        [(0, "incompressible-ish unique body " * 40)],
+        "doc_id bigint, text string",
+    )
+    with pytest.raises(Exception, match="2 GiB content limit"):
+        # compress_type none: the record is the raw 1240-char chunk, far
+        # past the patched 64-byte limit regardless of chunking
+        ddp.export_ddp(
+            docs, str(tmp_path / "ddp_big"), cfg, n_shards=1,
+            compress_type="none",
+        )

@@ -174,3 +174,74 @@ def test_bit_exact_vs_reference_build():
     for short in (b"x", b"hello", b"aaaaaaa", b" " * 17):
         assert ref(lzss_encode(short), "-d") == short
         assert lzss_decode(ref(short)) == short
+
+
+def test_decode_wrapping_copy_token():
+    """Hand-built stream whose coded token crosses the circular-window
+    boundary: 5 literals 'ABCDE' (window slots 0..4), then a coded token
+    (offset 4094, length 4) reading slots 4094,4095,0,1 of the PRE-token
+    window — two pre-filled spaces then 'AB'.  Exercises decode's
+    two-segment copy path explicitly."""
+    from dedup_gpu_stream_parallelism_spark.functions.lzss_codec import (
+        _BitWriter,
+        lzss_decode,
+    )
+
+    w = _BitWriter()
+    for ch in b"ABCDE":
+        w.put(0x100 | ch, 9)
+    w.put(0, 1)            # ENCODED flag
+    w.put(4094 & 0xFF, 8)  # offset low byte
+    w.put(4094 >> 8, 4)    # offset high nibble
+    w.put(4 - 3, 4)        # length 4 -> stored 1
+    assert lzss_decode(w.tobytes()) == b"ABCDE  AB"
+
+
+def test_decode_discards_truncated_literal():
+    """A stream ending with an UNCODED flag but fewer than 8 literal bits
+    drops the partial token (LzssDecodeMemory's EOF semantics)."""
+    from dedup_gpu_stream_parallelism_spark.functions.lzss_codec import (
+        _BitWriter,
+        lzss_decode,
+    )
+
+    w = _BitWriter()
+    w.put(0x100 | ord("Q"), 9)
+    w.put(0b11111, 5)  # flag 1 + only 4 literal bits, then EOF
+    assert lzss_decode(w.tobytes()) == b"Q"
+
+
+@pytest.mark.skipif(
+    _build_reference_oracle() is None,
+    reason="g++ or reference lzsslib sources unavailable",
+)
+def test_bit_exact_structured_shapes_vs_reference():
+    """Targeted fuzz for the trigram-index encoder's distinct paths:
+    periodic source-code-like text (dense candidate sets, full-length
+    matches), RLE runs (near-candidate d=1/2 wins, window-head wraps),
+    short periods (multi-phase candidates), and block repeats spanning
+    more than one window (fingerprint-scale redundancy)."""
+    exe = _build_reference_oracle()
+
+    def ref(data: bytes, *args: str) -> bytes:
+        p = subprocess.run([exe, *args], input=data, capture_output=True)
+        assert p.returncode == 0
+        return p.stdout
+
+    rng = random.Random(31337)
+    line = b"def f_%d(x):\n    return x + %d\n"
+    shapes = [
+        (b"".join(line % (i % 7, i % 13) for i in range(400))),   # periodic
+        b"z" * 5000,                                              # pure RLE
+        b"ab" * 3000,                                             # period 2
+        b"abc" * 2500,                                            # period 3
+        (b"xy" * 10) + b"Q" + (b"xy" * 2100),                     # phase break
+        rng.randbytes(5000) * 2,                                  # window-span repeat
+        bytes(rng.choice(b"\t\n ae") for _ in range(8000)),       # tiny alphabet
+        b" " * 4200 + b"end",                                     # space prefill + beyond
+    ]
+    for data in shapes:
+        mine = lzss_encode(data)
+        assert mine == ref(data), f"encode mismatch on shape {data[:24]!r}"
+        assert lzss_decode(mine) == data
+        assert ref(mine, "-d") == data
