@@ -13,7 +13,23 @@ All arithmetic is int64 mod MERSENNE = 2**31-1; see config.py for the spec.
 
 from __future__ import annotations
 
+import sys
+
 import numpy as np
+
+# Large numpy temporaries (>128 KB) come from glibc via mmap and are
+# munmap'd on free, so EVERY per-batch buffer re-faults its pages —
+# measured ~3.5 ns/byte in this guest, 30-40x the cost of the arithmetic
+# it feeds.  Raising the mmap threshold keeps big blocks on the heap where
+# free/malloc reuses them; python workers are long-lived so the heap
+# high-water amortizes across all batches.  Linux/glibc only; harmless
+# no-op elsewhere.
+try:
+    import ctypes
+
+    ctypes.CDLL("libc.so.6").mallopt(-3, 1 << 30)  # M_MMAP_THRESHOLD
+except Exception:  # pragma: no cover - non-glibc platforms
+    pass
 
 from dedup_gpu_stream_parallelism_spark.config import (
     BASE1,
@@ -78,6 +94,214 @@ def batch_shingle_hashes(
     return flat, starts
 
 
+def _fold_mersenne_inplace(x: np.ndarray) -> None:
+    """In-place exact ``x mod MERSENNE`` for ``0 <= x < 2**62``.
+
+    ``2**31 ≡ 1 (mod 2**31-1)`` so folding the high bits onto the low bits
+    preserves the residue: two shift-add folds bring the value to
+    ``<= MERSENNE + 1``, one conditional subtract finishes.  ~6 cheap vector
+    ops instead of an int64 division per element (the division dominated the
+    MinHash inner loop).  Bit-identical to ``%`` by construction — fuzzed in
+    tests/test_fused_hashing.py."""
+    t = np.right_shift(x, 31)
+    x &= MERSENNE
+    x += t
+    np.right_shift(x, 31, out=t)
+    x &= MERSENNE
+    x += t
+    np.subtract(x, MERSENNE, out=x, where=x >= MERSENNE)
+
+
+def _pow2_ladder(codes: np.ndarray, base: int, kmax: int) -> dict[int, np.ndarray]:
+    """Rolling-hash doubling ladder over a code block.
+
+    ``ladder[w][i]`` = the w-char shingle hash starting at ``i`` (valid for
+    ``i <= n-w``; tail entries are bounded garbage ``< MERSENNE`` so later
+    combines never overflow).  Each level is one vectorized
+    multiply+add+fold pass — no window materialization, no matmul:
+    ``H_{2w}[i] = H_w[i] + base^w * H_w[i+w]  (mod P)``."""
+    n = codes.shape[0]
+    ladder = {1: codes}
+    w = 1
+    while 2 * w <= kmax:
+        h = ladder[w]
+        bw = pow(base, w, MERSENNE)
+        nh = np.empty(n, dtype=np.int64)
+        m = n - w
+        if m > 0:
+            # h < P and bw < P ⇒ product < 2**62: in-range for the fold
+            np.multiply(h[w:], bw, out=nh[:m])
+            nh[:m] += h[:m]
+            _fold_mersenne_inplace(nh[:m])
+        nh[max(m, 0):] = h[max(m, 0):]
+        ladder[2 * w] = nh
+        w *= 2
+    return ladder
+
+
+def _compose_k(ladder: dict[int, np.ndarray], base: int, k: int) -> np.ndarray:
+    """k-char hashes from the pow2 ladder via binary decomposition:
+    ``H_{L+w}[i] = H_L[i] + base^L * H_w[i+L]`` over the set bits of k."""
+    n = ladder[1].shape[0]
+    acc = None
+    length = 0
+    e = 0
+    rem = k
+    while rem:
+        w = 1 << e
+        if rem & w:
+            piece = ladder[w]
+            if acc is None:
+                acc = piece
+            else:
+                bl = pow(base, length, MERSENNE)
+                nh = np.empty(n, dtype=np.int64)
+                m = n - length
+                if m > 0:
+                    np.multiply(piece[length:], bl, out=nh[:m])
+                    nh[:m] += acc[:m]
+                    _fold_mersenne_inplace(nh[:m])
+                nh[max(m, 0):] = acc[max(m, 0):]
+                acc = nh
+            length += w
+            rem -= w
+        e += 1
+    return acc if acc is not None else np.zeros(n, dtype=np.int64)
+
+
+# Process the concatenated batch in blocks so the ladder temporaries stay
+# cache/memory-bounded (a block plus its wmax-1 halo; ~8 MB of int64 per
+# ladder level at the default) while outputs fill full-length arrays.
+STREAM_BLOCK = 1 << 20
+
+
+def batch_hash_streams(
+    parts: list[np.ndarray],
+    k: int,
+    cdc_window: int | None = None,
+    base1: int = BASE1,
+    base2: int | None = BASE2,
+    block: int = STREAM_BLOCK,
+) -> tuple[np.ndarray, np.ndarray | None, np.ndarray, np.ndarray | None, np.ndarray | None]:
+    """All three signature hash streams in ONE fused pass over the batch.
+
+    ``parts`` is one int64 code array per doc (``text_codes``).  Returns
+    ``(flat1, flat2, starts, cdc_flat, cdc_starts)`` where ``flat1``/``flat2``
+    are the k-shingle hashes under ``base1``/``base2`` (identical to
+    ``batch_shingle_hashes``) and ``cdc_flat`` the ``cdc_window``-shingle
+    hashes under ``base1`` (identical to per-doc ``shingle_hashes(t,
+    cdc_window)``).  ``cdc_flat``/``cdc_starts`` are None when
+    ``cdc_window`` is None; ``flat2`` is None when ``base2`` is None
+    (callers that only need the BASE1 set, e.g. pair verification).
+
+    This replaces three independent per-doc passes (two k-window matmuls +
+    one cdc-window matmul, each re-building windows) with one doubling
+    ladder per base over one concatenated buffer — the BASE1 ladder is
+    shared between the k-shingle and the CDC stream, and the slow ``%`` is
+    the shift-add Mersenne fold.  Valid windows are gathered per doc with a
+    grouped-arange (no per-doc python in the hash math)."""
+    n_docs = len(parts)
+    lens = np.array([p.shape[0] for p in parts], dtype=np.int64)
+    offs = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    n = int(offs[-1])
+    codes = (
+        np.concatenate(parts) if n else np.empty(0, dtype=np.int64)
+    )
+    targets = [(base1, k)]
+    if base2 is not None:
+        targets.append((base2, k))
+    if cdc_window is not None and (base1, cdc_window) not in targets:
+        targets.append((base1, cdc_window))
+    wmax = max(t[1] for t in targets)
+    outs = {t: np.empty(n, dtype=np.int64) for t in targets}
+    for b0 in range(0, n, block):
+        b1 = min(n, b0 + block)
+        sl = codes[b0 : min(n, b1 + wmax - 1)]
+        bases = {b for b, _ in targets}
+        ladders = {
+            b: _pow2_ladder(sl, b, max(kk for bb, kk in targets if bb == b))
+            for b in bases
+        }
+        m = b1 - b0
+        for b, kk in targets:
+            outs[(b, kk)][b0:b1] = _compose_k(ladders[b], b, kk)[:m]
+    flat1, starts = _gather_valid(outs[(base1, k)], offs, lens, k)
+    flat2 = (
+        _gather_valid(outs[(base2, k)], offs, lens, k)[0]
+        if base2 is not None
+        else None
+    )
+    if cdc_window is None:
+        return flat1, flat2, starts, None, None
+    cdc_flat, cdc_starts = _gather_valid(
+        outs[(base1, cdc_window)], offs, lens, cdc_window
+    )
+    return flat1, flat2, starts, cdc_flat, cdc_starts
+
+
+def _gather_valid(
+    h: np.ndarray, offs: np.ndarray, lens: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc valid window hashes from a concatenated stream: doc d's
+    windows start at ``offs[d] .. offs[d] + len_d - k`` (empty if
+    ``len_d < k``).  Grouped-arange gather — no python loop."""
+    vl = np.maximum(lens - (k - 1), 0)
+    starts = np.zeros(lens.shape[0] + 1, dtype=np.int64)
+    np.cumsum(vl, out=starts[1:])
+    total = int(starts[-1])
+    if total == 0:
+        return np.empty(0, dtype=np.int64), starts
+    idx = (
+        np.arange(total, dtype=np.int64)
+        - np.repeat(starts[:-1], vl)
+        + np.repeat(offs[:-1], vl)
+    )
+    return h[idx], starts
+
+
+def shingle_hashes_ladder(
+    codes: np.ndarray, k: int, base: int = BASE1
+) -> np.ndarray:
+    """Same output as ``shingle_hashes_from_codes`` via the doubling ladder:
+    O(log k) vectorized passes instead of a k-wide int64 matmul — the win
+    grows with k (the verify stage's exact-gram test uses k=256, where the
+    matmul does 256 multiply-adds per position).  Exact for any k (every
+    intermediate stays below 2**62 before its fold)."""
+    n = codes.shape[0]
+    if n < k:
+        return np.empty(0, dtype=np.int64)
+    ladder = _pow2_ladder(codes, base, k)
+    h = _compose_k(ladder, base, k)
+    if h is codes:  # k == 1: h_i = code_i (< MERSENNE already)
+        h = codes.copy()
+    return h[: n - k + 1]
+
+
+def batch_distinct_per_doc(
+    flat: np.ndarray, starts: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-doc sorted-distinct values of a segmented hash stream in one
+    global keyed sort (values are 31-bit, so ``seg_id << 31 | value`` is an
+    exact composite key): returns ``(uniq_flat, uniq_starts, n_distinct)``.
+    Replaces a per-doc ``np.unique`` python loop; identical output order
+    (ascending within each doc)."""
+    n_docs = starts.shape[0] - 1
+    if flat.shape[0] == 0:
+        z = np.zeros(n_docs + 1, dtype=np.int64)
+        return np.empty(0, dtype=np.int64), z, np.zeros(n_docs, dtype=np.int64)
+    seg_ids = np.repeat(np.arange(n_docs, dtype=np.int64), np.diff(starts))
+    key = np.sort((seg_ids << 31) | flat)
+    keep = np.empty(key.shape[0], dtype=bool)
+    keep[0] = True
+    np.not_equal(key[1:], key[:-1], out=keep[1:])
+    uq = key[keep]
+    n_distinct = np.bincount(uq >> 31, minlength=n_docs).astype(np.int64)
+    uniq_starts = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(n_distinct, out=uniq_starts[1:])
+    return uq & MERSENNE, uniq_starts, n_distinct
+
+
 # Doc-aligned cache block: ~32K shingles (256 KB of int64) so the shingle
 # slice and the work buffer stay L2-resident across all 128 permutation /
 # 31 bit-plane passes.  Streaming the full batch per pass instead saturates
@@ -129,7 +353,9 @@ def minhash_signatures(
     sig = np.full((n_docs, cfg.num_perm), cfg.empty_min, dtype=np.int64)
     if flat_hashes.shape[0] == 0:
         return sig
-    buf = np.empty(min(flat_hashes.shape[0], 2 * BLOCK_SHINGLES), dtype=np.int64)
+    cap = min(flat_hashes.shape[0], 2 * BLOCK_SHINGLES)
+    buf = np.empty(cap, dtype=np.int64)
+    tbuf = np.empty(cap, dtype=np.int64)
     for d0, d1 in _doc_blocks(starts, BLOCK_SHINGLES):
         lo, hi = starts[d0], starts[d1]
         sub = flat_hashes[lo:hi]
@@ -141,26 +367,55 @@ def minhash_signatures(
         docsel = np.arange(d0, d1)[ne]
         if buf.shape[0] < sub.shape[0]:
             buf = np.empty(sub.shape[0], dtype=np.int64)
+            tbuf = np.empty(sub.shape[0], dtype=np.int64)
         bv = buf[: sub.shape[0]]
+        tv = tbuf[: sub.shape[0]]
         for t in range(cfg.num_perm):
-            # a_t*h + b_t mod P; a<P, h<P ⇒ product < 2**62, ok in int64
+            # a_t*h + b_t mod P; a<P, h<P ⇒ product < 2**62.  The mod is
+            # two Mersenne shift-add folds (2**31 ≡ 1 mod P) leaving
+            # z <= P+1; z >= P happens with prob ~2**-31 per element, so
+            # the exact top-correction is gated on one SIMD max() — the
+            # always-on masked subtract was the single hottest op of the
+            # whole signature stage (where= allocates and doesn't vectorize)
             np.multiply(sub, a[t], out=bv)
-            bv += b[t]
-            bv %= MERSENNE
+            np.add(bv, b[t], out=bv)
+            np.right_shift(bv, 31, out=tv)
+            np.bitwise_and(bv, MERSENNE, out=bv)
+            np.add(bv, tv, out=bv)
+            np.right_shift(bv, 31, out=tv)
+            np.bitwise_and(bv, MERSENNE, out=bv)
+            np.add(bv, tv, out=bv)
+            if bv.max() >= MERSENNE:
+                # z in {P, P+1} ⇔ (z+1) >> 31 == 1; subtract P exactly there
+                np.add(bv, 1, out=tv)
+                np.right_shift(tv, 31, out=tv)
+                np.multiply(tv, MERSENNE, out=tv)
+                np.subtract(bv, tv, out=bv)
             sig[docsel, t] = np.minimum.reduceat(bv, idx)
     return sig
 
 
+_LITTLE_ENDIAN = sys.byteorder == "little"
+_BIT_WEIGHTS = (np.int64(1) << np.arange(SIMHASH_HALF_BITS, dtype=np.int64))
+
+
 def _segment_bit_votes(flat: np.ndarray, starts: np.ndarray) -> np.ndarray:
-    """(n_docs,) packed 31-bit majority vote of one hash stream."""
+    """(n_docs,) packed 31-bit majority vote of one hash stream.
+
+    Fast path (little-endian hosts): ``np.unpackbits`` turns the block into
+    an (L, 32) bit matrix and ONE axis-0 ``add.reduceat`` sums all 31 bit
+    planes per segment as SIMD row adds — replacing 31 separate
+    shift/mask/reduceat passes.  Majority vote: bit set ⇔ ones >= zeros ⇔
+    2*ones >= seg_len (ties vote 1)."""
     n_seg = starts.shape[0] - 1
     packed = np.zeros(n_seg, dtype=np.int64)
     if flat.shape[0] == 0:
         return packed
-    # cache-blocked bit-plane loop through a reused buffer (see
-    # BLOCK_SHINGLES).  Majority vote: bit set ⇔ ones >= zeros ⇔
-    # 2*ones >= seg_len (ties vote 1).
-    buf = np.empty(min(flat.shape[0], 2 * BLOCK_SHINGLES), dtype=np.int64)
+    buf = (
+        np.empty(min(flat.shape[0], 2 * BLOCK_SHINGLES), dtype=np.int64)
+        if not _LITTLE_ENDIAN
+        else None
+    )
     for d0, d1 in _doc_blocks(starts, BLOCK_SHINGLES):
         lo, hi = starts[d0], starts[d1]
         sub = flat[lo:hi]
@@ -172,14 +427,26 @@ def _segment_bit_votes(flat: np.ndarray, starts: np.ndarray) -> np.ndarray:
         idx = ss[:-1][ne]
         docsel = np.arange(d0, d1)[ne]
         ne_len = seg_len[ne]
-        if buf.shape[0] < sub.shape[0]:
-            buf = np.empty(sub.shape[0], dtype=np.int64)
-        bv = buf[: sub.shape[0]]
-        for bit in range(SIMHASH_HALF_BITS):
-            np.right_shift(sub, bit, out=bv)
-            bv &= 1
-            ones = np.add.reduceat(bv, idx)
-            packed[docsel] |= (2 * ones >= ne_len).astype(np.int64) << bit
+        if _LITTLE_ENDIAN:
+            # values < 2**31 live in the low 4 bytes of the LE int64
+            lowbytes = np.ascontiguousarray(
+                sub.view(np.uint8).reshape(-1, 8)[:, :4]
+            )
+            bits = np.unpackbits(lowbytes, axis=1, bitorder="little")
+            ones = np.add.reduceat(
+                bits[:, :SIMHASH_HALF_BITS], idx, axis=0, dtype=np.int64
+            )
+            vote = (2 * ones >= ne_len[:, None]).astype(np.int64)
+            packed[docsel] |= vote @ _BIT_WEIGHTS
+        else:
+            if buf.shape[0] < sub.shape[0]:
+                buf = np.empty(sub.shape[0], dtype=np.int64)
+            bv = buf[: sub.shape[0]]
+            for bit in range(SIMHASH_HALF_BITS):
+                np.right_shift(sub, bit, out=bv)
+                bv &= 1
+                ones = np.add.reduceat(bv, idx)
+                packed[docsel] |= (2 * ones >= ne_len).astype(np.int64) << bit
     return packed
 
 

@@ -103,6 +103,63 @@ def wait_for_idle(max_wait_sec: int = 1800, poll_sec: int = 120) -> dict:
         time.sleep(poll_sec)
 
 
+def snapshot_repo() -> tuple[str, str, bool]:
+    """Export HEAD into a throwaway snapshot dir and return
+    ``(snapshot_dir, commit, dirty)``.
+
+    The timed subprocesses re-import repo code LIVE at launch time: round
+    5's run 3 died because a hot-path module was being edited the moment
+    the local[8] level started.  Measuring from a ``git archive HEAD``
+    snapshot makes runs immune to concurrent edits AND pins the artifact
+    to a commit (measured code == committed code; a dirty tree is
+    recorded so the artifact can't silently claim untracked changes)."""
+    import shutil
+    import subprocess
+
+    commit = subprocess.run(
+        ["git", "rev-parse", "HEAD"], capture_output=True, text=True,
+        cwd=REPO, check=True,
+    ).stdout.strip()
+    dirty = bool(subprocess.run(
+        ["git", "status", "--porcelain"], capture_output=True, text=True,
+        cwd=REPO, check=True,
+    ).stdout.strip())
+    snap = os.path.join("/tmp", f"scaling_snapshot_{commit[:12]}")
+    if not os.path.exists(os.path.join(snap, "bench.py")):
+        shutil.rmtree(snap, ignore_errors=True)
+        os.makedirs(snap)
+        tar = subprocess.run(
+            ["git", "archive", "HEAD"], capture_output=True, cwd=REPO,
+            check=True,
+        ).stdout
+        subprocess.run(["tar", "-x", "-C", snap], input=tar, check=True)
+    return snap, commit, dirty
+
+
+def run_bench_level(snap: str, cpus: int, corpus: str, strategy: str) -> dict:
+    """One subprocess-isolated bench level from the code snapshot; on
+    failure, surfaces the child's stderr tail (run 3 swallowed it)."""
+    import subprocess
+
+    out = subprocess.run(
+        [
+            sys.executable, os.path.join(snap, "bench.py"),
+            "--single-run", str(cpus),
+            "--sf-dir", os.path.dirname(corpus),
+            "--input", corpus,
+            "--id-col", "file_id", "--text-col", "content",
+            "--strategy", strategy,
+        ],
+        capture_output=True, text=True, cwd=snap,
+    )
+    if out.returncode != 0:
+        tail = "\n".join(out.stderr.strip().splitlines()[-25:])
+        print(f"bench.py --single-run {cpus} FAILED (rc={out.returncode}); "
+              f"stderr tail:\n{tail}", file=sys.stderr, flush=True)
+        raise RuntimeError(f"bench level cpus={cpus} failed rc={out.returncode}")
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
 def round_artifact_path() -> str:
     """Per-round scaling artifact next to the driver's BENCH_r{N}.json:
     the CURRENT round is one past the last recorded bench round (the driver
@@ -120,7 +177,33 @@ def round_artifact_path() -> str:
 
 
 def write_round_artifact(payload: dict) -> str:
+    """Write (or MERGE into) the round artifact.
+
+    Hand-curated keys from earlier runs this round (``runs`` ledger,
+    ``context`` analysis) survive a re-run: the new payload replaces the
+    top-level measurement keys but appends to ``runs`` instead of
+    clobbering it (the round-5 lesson: the overwrite destroyed the
+    two-run variance ledger until restored from a manual backup)."""
     path = round_artifact_path()
+    if os.path.exists(path) and payload.get("kind") == "n_vs_4n":
+        with open(path) as f:
+            old = json.load(f)
+        runs = dict(old.get("runs", {}))
+        n = len(runs) + 1
+        runs[f"full_run_{n}"] = {
+            "value": payload["value"],
+            "speedup": payload["speedup"],
+            "local2_sec": payload["levels"][min(payload["levels"])]["sec"],
+            "local8_sec": payload["levels"][max(payload["levels"])]["sec"],
+            "commit": payload.get("commit"),
+            "note": "see host_probes of the latest top-level payload",
+        }
+        merged = dict(old)
+        merged.update(payload)
+        merged["runs"] = runs
+        if "context" in old:
+            merged["context"] = old["context"]
+        payload = merged
     with open(path, "w") as f:
         json.dump(payload, f, indent=1)
     return path
@@ -154,26 +237,15 @@ def run_sweep(
     ``settle`` seconds of idle before every run: this host shows up to 2x
     slowdown for minutes after a previous Spark JVM exits (BENCH.md), so
     back-to-back levels contaminate each other.  Best-of-``repeats``."""
-    import subprocess
     import time
 
+    snap, _, _ = snapshot_repo()
     results = []
     for cpus in cores:
         best = None
         for _ in range(repeats):
             time.sleep(settle)
-            out = subprocess.run(
-                [
-                    sys.executable, os.path.join(REPO, "bench.py"),
-                    "--single-run", str(cpus),
-                    "--sf-dir", os.path.dirname(corpus),
-                    "--input", corpus,
-                    "--id-col", "file_id", "--text-col", "content",
-                    "--strategy", strategy,
-                ],
-                capture_output=True, text=True, cwd=REPO, check=True,
-            )
-            r = json.loads(out.stdout.strip().splitlines()[-1])
+            r = run_bench_level(snap, cpus, corpus, strategy)
             print(json.dumps(r), flush=True)
             if best is None or r["sec"] < best["sec"]:
                 best = r
@@ -227,27 +299,19 @@ subprocess-isolated JVM per level, python workers pre-warmed.
 
     corpus = ensure_corpus(args.n_files)
     # Probe-gated twin of bench.run_scaling: identical subprocess-isolated
-    # single-run invocations, plus a host_probe before every timed run so the
-    # artifact records whether each level ran on an idle host (VERDICT_r3 #8).
-    import subprocess
+    # single-run invocations from a HEAD snapshot, plus a host_probe before
+    # every timed run so the artifact records whether each level ran on an
+    # idle host (VERDICT_r3 #8).
+    snap, commit, dirty = snapshot_repo()
+    print(json.dumps({"snapshot": snap, "commit": commit, "dirty": dirty}),
+          flush=True)
 
     levels, probes = {}, {}
     for cpus in (args.n_cores, 4 * args.n_cores):
         best, lvl_probes = None, []
         for _ in range(max(args.repeats, 1)):
             lvl_probes.append(wait_for_idle())
-            out = subprocess.run(
-                [
-                    sys.executable, os.path.join(REPO, "bench.py"),
-                    "--single-run", str(cpus),
-                    "--sf-dir", os.path.dirname(corpus),
-                    "--input", corpus,
-                    "--id-col", "file_id", "--text-col", "content",
-                    "--strategy", args.strategy,
-                ],
-                capture_output=True, text=True, cwd=REPO, check=True,
-            )
-            r = json.loads(out.stdout.strip().splitlines()[-1])
+            r = run_bench_level(snap, cpus, corpus, args.strategy)
             print(json.dumps(r), flush=True)
             if best is None or r["sec"] < best["sec"]:
                 best = r
@@ -298,6 +362,8 @@ pre-warmed at both levels.
             "n_files": args.n_files,
             "strategy": args.strategy,
             "host_probes": probes,
+            "commit": commit,
+            "dirty_tree_at_launch": dirty,
             "host_note": "guest delivers ~18 effective cores (BENCH.md "
                          "ceiling probe); N=2 vs 4N=8 is the widest honest "
                          "4x span on real silicon",
