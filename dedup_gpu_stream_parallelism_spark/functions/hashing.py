@@ -13,23 +13,7 @@ All arithmetic is int64 mod MERSENNE = 2**31-1; see config.py for the spec.
 
 from __future__ import annotations
 
-import sys
-
 import numpy as np
-
-# Large numpy temporaries (>128 KB) come from glibc via mmap and are
-# munmap'd on free, so EVERY per-batch buffer re-faults its pages —
-# measured ~3.5 ns/byte in this guest, 30-40x the cost of the arithmetic
-# it feeds.  Raising the mmap threshold keeps big blocks on the heap where
-# free/malloc reuses them; python workers are long-lived so the heap
-# high-water amortizes across all batches.  Linux/glibc only; harmless
-# no-op elsewhere.
-try:
-    import ctypes
-
-    ctypes.CDLL("libc.so.6").mallopt(-3, 1 << 30)  # M_MMAP_THRESHOLD
-except Exception:  # pragma: no cover - non-glibc platforms
-    pass
 
 from dedup_gpu_stream_parallelism_spark.config import (
     BASE1,
@@ -353,9 +337,7 @@ def minhash_signatures(
     sig = np.full((n_docs, cfg.num_perm), cfg.empty_min, dtype=np.int64)
     if flat_hashes.shape[0] == 0:
         return sig
-    cap = min(flat_hashes.shape[0], 2 * BLOCK_SHINGLES)
-    buf = np.empty(cap, dtype=np.int64)
-    tbuf = np.empty(cap, dtype=np.int64)
+    buf = np.empty(min(flat_hashes.shape[0], 2 * BLOCK_SHINGLES), dtype=np.int64)
     for d0, d1 in _doc_blocks(starts, BLOCK_SHINGLES):
         lo, hi = starts[d0], starts[d1]
         sub = flat_hashes[lo:hi]
@@ -367,55 +349,26 @@ def minhash_signatures(
         docsel = np.arange(d0, d1)[ne]
         if buf.shape[0] < sub.shape[0]:
             buf = np.empty(sub.shape[0], dtype=np.int64)
-            tbuf = np.empty(sub.shape[0], dtype=np.int64)
         bv = buf[: sub.shape[0]]
-        tv = tbuf[: sub.shape[0]]
         for t in range(cfg.num_perm):
-            # a_t*h + b_t mod P; a<P, h<P ⇒ product < 2**62.  The mod is
-            # two Mersenne shift-add folds (2**31 ≡ 1 mod P) leaving
-            # z <= P+1; z >= P happens with prob ~2**-31 per element, so
-            # the exact top-correction is gated on one SIMD max() — the
-            # always-on masked subtract was the single hottest op of the
-            # whole signature stage (where= allocates and doesn't vectorize)
+            # a_t*h + b_t mod P; a<P, h<P ⇒ product < 2**62, ok in int64
             np.multiply(sub, a[t], out=bv)
-            np.add(bv, b[t], out=bv)
-            np.right_shift(bv, 31, out=tv)
-            np.bitwise_and(bv, MERSENNE, out=bv)
-            np.add(bv, tv, out=bv)
-            np.right_shift(bv, 31, out=tv)
-            np.bitwise_and(bv, MERSENNE, out=bv)
-            np.add(bv, tv, out=bv)
-            if bv.max() >= MERSENNE:
-                # z in {P, P+1} ⇔ (z+1) >> 31 == 1; subtract P exactly there
-                np.add(bv, 1, out=tv)
-                np.right_shift(tv, 31, out=tv)
-                np.multiply(tv, MERSENNE, out=tv)
-                np.subtract(bv, tv, out=bv)
+            bv += b[t]
+            bv %= MERSENNE
             sig[docsel, t] = np.minimum.reduceat(bv, idx)
     return sig
 
 
-_LITTLE_ENDIAN = sys.byteorder == "little"
-_BIT_WEIGHTS = (np.int64(1) << np.arange(SIMHASH_HALF_BITS, dtype=np.int64))
-
-
 def _segment_bit_votes(flat: np.ndarray, starts: np.ndarray) -> np.ndarray:
-    """(n_docs,) packed 31-bit majority vote of one hash stream.
-
-    Fast path (little-endian hosts): ``np.unpackbits`` turns the block into
-    an (L, 32) bit matrix and ONE axis-0 ``add.reduceat`` sums all 31 bit
-    planes per segment as SIMD row adds — replacing 31 separate
-    shift/mask/reduceat passes.  Majority vote: bit set ⇔ ones >= zeros ⇔
-    2*ones >= seg_len (ties vote 1)."""
+    """(n_docs,) packed 31-bit majority vote of one hash stream."""
     n_seg = starts.shape[0] - 1
     packed = np.zeros(n_seg, dtype=np.int64)
     if flat.shape[0] == 0:
         return packed
-    buf = (
-        np.empty(min(flat.shape[0], 2 * BLOCK_SHINGLES), dtype=np.int64)
-        if not _LITTLE_ENDIAN
-        else None
-    )
+    # cache-blocked bit-plane loop through a reused buffer (see
+    # BLOCK_SHINGLES).  Majority vote: bit set ⇔ ones >= zeros ⇔
+    # 2*ones >= seg_len (ties vote 1).
+    buf = np.empty(min(flat.shape[0], 2 * BLOCK_SHINGLES), dtype=np.int64)
     for d0, d1 in _doc_blocks(starts, BLOCK_SHINGLES):
         lo, hi = starts[d0], starts[d1]
         sub = flat[lo:hi]
@@ -427,26 +380,14 @@ def _segment_bit_votes(flat: np.ndarray, starts: np.ndarray) -> np.ndarray:
         idx = ss[:-1][ne]
         docsel = np.arange(d0, d1)[ne]
         ne_len = seg_len[ne]
-        if _LITTLE_ENDIAN:
-            # values < 2**31 live in the low 4 bytes of the LE int64
-            lowbytes = np.ascontiguousarray(
-                sub.view(np.uint8).reshape(-1, 8)[:, :4]
-            )
-            bits = np.unpackbits(lowbytes, axis=1, bitorder="little")
-            ones = np.add.reduceat(
-                bits[:, :SIMHASH_HALF_BITS], idx, axis=0, dtype=np.int64
-            )
-            vote = (2 * ones >= ne_len[:, None]).astype(np.int64)
-            packed[docsel] |= vote @ _BIT_WEIGHTS
-        else:
-            if buf.shape[0] < sub.shape[0]:
-                buf = np.empty(sub.shape[0], dtype=np.int64)
-            bv = buf[: sub.shape[0]]
-            for bit in range(SIMHASH_HALF_BITS):
-                np.right_shift(sub, bit, out=bv)
-                bv &= 1
-                ones = np.add.reduceat(bv, idx)
-                packed[docsel] |= (2 * ones >= ne_len).astype(np.int64) << bit
+        if buf.shape[0] < sub.shape[0]:
+            buf = np.empty(sub.shape[0], dtype=np.int64)
+        bv = buf[: sub.shape[0]]
+        for bit in range(SIMHASH_HALF_BITS):
+            np.right_shift(sub, bit, out=bv)
+            bv &= 1
+            ones = np.add.reduceat(bv, idx)
+            packed[docsel] |= (2 * ones >= ne_len).astype(np.int64) << bit
     return packed
 
 

@@ -1,4 +1,4 @@
-"""Fused signature stage: sha256 + shingle stats + MinHash + SimHash + CDC keys.
+"""Fused signature stage: sha256 + shingle stats + MinHash + SimHash.
 
 One ``mapInPandas`` pass computes every per-file fingerprint — the same
 fusion the reference applies in ``SerialIntegratedPipeline`` ("integrate all
@@ -7,14 +7,6 @@ computationally intensive pipeline stages to improve cache efficiency",
 batches, the python side runs pure numpy over a flattened concat buffer —
 the identical data layout the reference's GPU SHA-1 batch kernel consumes
 (offsets/lengths + contiguous buffer, src/encoder_spar.cpp:197-243).
-
-The hash math itself is fused one level further: BOTH k-shingle streams and
-the CDC rolling hash come from one doubling-ladder pass over one
-concatenated code buffer (``hashing.batch_hash_streams``), MinHash runs
-over the per-doc distinct shingles that the ``n_distinct_shingles`` column
-needs anyway (min(set) == min(multiset)), and every ``mod P`` is the
-shift-add Mersenne fold.  Bit-exactness vs the per-doc spec functions is
-pinned by tests/test_fused_hashing.py.
 
 No per-row Python in the hash math; only sha256 uses a per-row hashlib call
 (like the per-chunk SHA1_Digest, src/sha.cpp:6-12).
@@ -31,6 +23,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from dedup_gpu_stream_parallelism_spark.config import (
+    BASE1,
+    BASE2,
     SIMHASH_HALF_BITS,
     DedupConfig,
 )
@@ -43,50 +37,25 @@ SIGNATURE_FIELDS = (
 CHUNK_KEYS_FIELD = "chunk_keys array<bigint>"
 
 
-def _chunk_keys_from_stream(
-    texts: list,
-    cdc_flat: np.ndarray,
-    cdc_starts: np.ndarray,
-    min_chunk_len: int,
-) -> list[list[int]]:
-    """Per-doc deduped CDC chunk keys from the precomputed rolling-hash
-    stream (the third output of ``hashing.batch_hash_streams``) — same
-    cut rule as ``operators.chunk.cut_positions`` (boundary after char
-    ``local + window - 1`` wherever the window hash ≡ 0 mod CDC_MODULUS,
-    excluding the final char) without re-hashing every text per doc."""
-    from dedup_gpu_stream_parallelism_spark.operators.chunk import (
-        CDC_MODULUS,
-        CDC_WINDOW,
-    )
+def _chunk_keys_of(text, min_chunk_len: int) -> list[int]:
+    """Per-doc deduped int64 CDC chunk keys (first 8 bytes of the chunk
+    sha256) — the fused twin of operators.chunk.chunk_keys."""
+    import hashlib
 
-    if CDC_MODULUS & (CDC_MODULUS - 1) == 0:
-        hit = (cdc_flat & (CDC_MODULUS - 1)) == 0
-    else:
-        hit = cdc_flat % CDC_MODULUS == 0
-    hit_idx = np.nonzero(hit)[0]
-    splits = np.searchsorted(hit_idx, cdc_starts[1:-1])
-    per_doc = np.split(hit_idx, splits)
-    out: list[list[int]] = []
-    for t, glob in zip(texts, per_doc):
-        n = len(t)
-        ps = (glob - cdc_starts[len(out)]) + (CDC_WINDOW - 1)
-        ps = ps[ps < n - 1]
-        bounds = [0, *(int(p) + 1 for p in ps), n] if n else []
-        seen: set[int] = set()
-        keys: list[int] = []
-        for s, e in zip(bounds[:-1], bounds[1:]):
-            if e - s < min_chunk_len:
-                continue
-            piece = t[s:e]
-            if not isinstance(piece, (bytes, bytearray)):
-                piece = piece.encode("utf-8")
-            k = int.from_bytes(
-                hashlib.sha256(piece).digest()[:8], "big", signed=True
-            )
-            if k not in seen:
-                seen.add(k)
-                keys.append(k)
-        out.append(keys)
+    from dedup_gpu_stream_parallelism_spark.operators.chunk import chunk_spans
+
+    seen: set[int] = set()
+    out: list[int] = []
+    for s, e in chunk_spans(text):
+        if e - s < min_chunk_len:
+            continue
+        piece = text[s:e]
+        if not isinstance(piece, (bytes, bytearray)):
+            piece = piece.encode("utf-8")
+        k = int.from_bytes(hashlib.sha256(piece).digest()[:8], "big", signed=True)
+        if k not in seen:
+            seen.add(k)
+            out.append(k)
     return out
 
 
@@ -103,31 +72,21 @@ def _sign_batch(
     # hashing.text_codes)
     raw = pdf[text_col].tolist()
     texts = [v if v is not None else "" for v in raw]
-    parts = [hashing.text_codes(t) for t in texts]
-    if with_chunk_keys:
-        from dedup_gpu_stream_parallelism_spark.operators.chunk import CDC_WINDOW
-
-        cdc_window = CDC_WINDOW
-    else:
-        cdc_window = None
-    # one fused pass: both k-shingle streams (and the CDC rolling hash when
-    # chunk keys are wanted) from one doubling ladder per base — see
-    # hashing.batch_hash_streams
-    flat1, flat2, starts, cdc_flat, cdc_starts = hashing.batch_hash_streams(
-        parts, cfg.shingle_k, cdc_window
-    )
-    # MinHash depends only on the shingle SET, so it runs over the per-doc
-    # distinct values — which the n_distinct column needs anyway (one keyed
-    # sort for both; bit-identical since min(set) == min(multiset))
-    uniq_flat, uniq_starts, n_distinct = hashing.batch_distinct_per_doc(
-        flat1, starts
-    )
-    sig = hashing.minhash_signatures(uniq_flat, uniq_starts, cfg)
+    flat1, starts = hashing.batch_shingle_hashes(texts, cfg.shingle_k, BASE1)
+    flat2, _ = hashing.batch_shingle_hashes(texts, cfg.shingle_k, BASE2)
+    sig = hashing.minhash_signatures(flat1, starts, cfg)
     lo = hashing._segment_bit_votes(flat1, starts)
     hi = hashing._segment_bit_votes(flat2, starts)
     seg_len = np.diff(starts)
     simhash = hi * (np.int64(1) << SIMHASH_HALF_BITS) + lo
     simhash[seg_len == 0] = 0
+    n_distinct = np.array(
+        [
+            np.unique(flat1[starts[i] : starts[i + 1]]).shape[0]
+            for i in range(len(texts))
+        ],
+        dtype=np.int64,
+    )
     out = (pdf.copy() if keep_text else pdf.drop(columns=[text_col]).copy())
     out["sha256"] = [
         hashlib.sha256(
@@ -143,9 +102,7 @@ def _sign_batch(
     if with_chunk_keys:
         # fused CDC chunk keys: same text pass, no second Arrow transfer —
         # the reference's integrated-stage fusion (encoder.cpp:760-979)
-        out["chunk_keys"] = _chunk_keys_from_stream(
-            texts, cdc_flat, cdc_starts, min_chunk_len
-        )
+        out["chunk_keys"] = [_chunk_keys_of(t, min_chunk_len) for t in texts]
     return out
 
 

@@ -123,10 +123,12 @@ def lcp_array(codes: np.ndarray, sa: np.ndarray) -> np.ndarray:
     return lcp
 
 
-def _lcs_codes(ca: np.ndarray, cb: np.ndarray) -> int:
-    """Longest common substring length from precomputed code arrays."""
-    if ca.shape[0] == 0 or cb.shape[0] == 0:
+def longest_common_substring(a: str, b: str) -> int:
+    """Length of the longest exact common substring of a and b."""
+    if not a or not b:
         return 0
+    ca = hashing.text_codes(a)
+    cb = hashing.text_codes(b)
     codes = np.concatenate([ca, [SEPARATOR], cb, [SEPARATOR + 1]]).astype(np.int64)
     sa, ranks = suffix_array(codes, return_ranks=True)
     lcp = lcp_from_ranks(sa, ranks)
@@ -137,12 +139,7 @@ def _lcs_codes(ca: np.ndarray, cb: np.ndarray) -> int:
     return int(lcp[1:][mixed].max())
 
 
-def longest_common_substring(a: str, b: str) -> int:
-    """Length of the longest exact common substring of a and b."""
-    return _lcs_codes(hashing.text_codes(a or ""), hashing.text_codes(b or ""))
-
-
-def _common_gram_codes(ca: np.ndarray, cb: np.ndarray, length: int) -> bool | None:
+def common_gram(a: str, b: str, length: int) -> bool | None:
     """Exact shared-L-gram test (⟺ LCS >= L) via rolling hashes + a string
     verify of the first-occurrence positions.
 
@@ -151,11 +148,12 @@ def _common_gram_codes(ca: np.ndarray, cb: np.ndarray, length: int) -> bool | No
     differ — caller must fall back to the suffix array).  ~15x cheaper than
     the SA on typical pairs; this is the same size-based kernel routing the
     reference applies (cheap path first, src/encoder_spar.cpp:272-280).
-    The L-gram hashes come from the doubling ladder (O(log L) passes,
-    exact for any L) instead of an L-wide matmul.
     """
-    ha = hashing.shingle_hashes_ladder(ca, length, BASE1)
-    hb = hashing.shingle_hashes_ladder(cb, length, BASE1)
+    ca = hashing.text_codes(a)
+    cb = hashing.text_codes(b)
+    # 256 terms of < 2**52 each sum below 2**60 — int64-safe for L <= 1024
+    ha = hashing.shingle_hashes_from_codes(ca, length, BASE1)
+    hb = hashing.shingle_hashes_from_codes(cb, length, BASE1)
     ua, ia = np.unique(ha, return_index=True)
     ub, ib = np.unique(hb, return_index=True)
     common, xa, xb = np.intersect1d(ua, ub, assume_unique=True, return_indices=True)
@@ -166,25 +164,6 @@ def _common_gram_codes(ca: np.ndarray, cb: np.ndarray, length: int) -> bool | No
         if np.array_equal(ca[pa : pa + length], cb[pb : pb + length]):
             return True
     return None  # pure hash collision(s): unresolved
-
-
-def common_gram(a: str, b: str, length: int) -> bool | None:
-    """String-API wrapper of ``_common_gram_codes``."""
-    return _common_gram_codes(
-        hashing.text_codes(a or ""), hashing.text_codes(b or ""), length
-    )
-
-
-def _sorted_intersect_count(ha: np.ndarray, hb: np.ndarray) -> int:
-    """|ha ∩ hb| for sorted-unique int64 arrays: searchsorted of the smaller
-    into the larger — O(m log n) with no concat+sort (the intersect1d cost)."""
-    if ha.shape[0] > hb.shape[0]:
-        ha, hb = hb, ha
-    if ha.shape[0] == 0:
-        return 0
-    idx = np.searchsorted(hb, ha)
-    ok = idx < hb.shape[0]
-    return int(np.count_nonzero(hb[idx[ok]] == ha[ok]))
 
 
 def jaccard_of(a: str, b: str, cfg: DedupConfig) -> tuple[int, int]:
@@ -253,36 +232,30 @@ def confirm_pairs(
             jac = np.zeros(n, dtype=np.float64)
             lcs = np.zeros(n, dtype=np.int64)
             conf = np.zeros(n, dtype=np.int32)
-            # batch-level doc prep: a star-capped hub doc appears in
-            # O(bucket) pairs, so every distinct doc in the batch is encoded
-            # and shingled ONCE — codes for the gram/SA tests, and all
-            # shingle sets in one fused vectorized pass
-            # (hashing.batch_hash_streams + batch_distinct_per_doc) instead
-            # of a per-doc shingle_hashes call.
-            doc_texts: dict[int, str] = {}
-            for col_id, col_text in (("a_id", "a_text"), ("b_id", "b_text")):
-                for did, t in zip(pdf[col_id], pdf[col_text]):
-                    if did not in doc_texts:
-                        doc_texts[did] = t or ""
-            dids = list(doc_texts)
-            parts = [hashing.text_codes(doc_texts[d]) for d in dids]
-            flat1, _, starts, _, _ = hashing.batch_hash_streams(
-                parts, cfg.shingle_k, None, base2=None
-            )
-            uniq, ustarts, _ = hashing.batch_distinct_per_doc(flat1, starts)
-            codes_of = {d: parts[i] for i, d in enumerate(dids)}
-            sets_of = {
-                d: uniq[ustarts[i] : ustarts[i + 1]] for i, d in enumerate(dids)
-            }
+            # per-batch memo: a star-capped hub doc appears in O(bucket)
+            # pairs — hash its shingle set once per batch, not once per pair
+            # (bounded by the batch's distinct docs; dropped between batches)
+            memo: dict[int, np.ndarray] = {}
+
+            def shingles_of(did: int, text: str) -> np.ndarray:
+                arr = memo.get(did)
+                if arr is None:
+                    arr = np.unique(
+                        hashing.shingle_hashes(text or "", cfg.shingle_k, BASE1)
+                    )
+                    memo[did] = arr
+                return arr
 
             for i, (aid, bid, a, b) in enumerate(
                 zip(pdf["a_id"], pdf["b_id"], pdf["a_text"], pdf["b_text"])
             ):
                 a = a or ""
                 b = b or ""
-                ha = sets_of[aid]
-                hb = sets_of[bid]
-                inter = _sorted_intersect_count(ha, hb)
+                ha = shingles_of(aid, a)
+                hb = shingles_of(bid, b)
+                inter = int(
+                    np.intersect1d(ha, hb, assume_unique=True).shape[0]
+                )
                 union = int(ha.shape[0] + hb.shape[0] - inter)
                 inters[i], unions[i] = inter, union
                 j = inter / union if union else (1.0 if a == b else 0.0)
@@ -298,11 +271,9 @@ def confirm_pairs(
                     # confirmed pairs; exact LCS on demand via
                     # longest_common_substring().
                     if min(len(a), len(b)) >= min_len and (j < thr):
-                        hit = _common_gram_codes(
-                            codes_of[aid], codes_of[bid], min_len
-                        )
+                        hit = common_gram(a, b, min_len)
                         if hit is None:
-                            lcs[i] = _lcs_codes(codes_of[aid], codes_of[bid])
+                            lcs[i] = longest_common_substring(a, b)
                             if lcs[i] >= min_len:
                                 conf[i] = 1
                         elif hit:

@@ -53,10 +53,12 @@ def main() -> None:
         {"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts}
     )
 
-    # warm at full size: the first pass grows the heap high-water mark
-    # (page-fault cost, see the mallopt note in functions/hashing.py) —
+    # warm at full size: the first pass grows the heap high-water mark —
     # workers amortize this across thousands of batches, so steady-state
-    # (best-of-2 after warmup) is the honest number
+    # (best-of-2 after warmup) is the honest number.  NOTE (BENCH.md
+    # round-5 negative result): single-process numbers from this script
+    # INVERT under 8-worker pipeline concurrency (shared-LLC eviction);
+    # never ship a hot-path change on this benchmark alone.
     _sign_batch(pdf, "text", cfg, with_chunk_keys=True)
     spec_path(texts, cfg)
 

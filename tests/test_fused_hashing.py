@@ -1,13 +1,19 @@
-"""Bit-exactness of the fused batch hash path vs the per-doc spec functions.
+"""Bit-exactness of the fused batch hash utilities vs the per-doc spec.
 
-The fused path (hashing.batch_hash_streams + batch_distinct_per_doc +
-the Mersenne fold) is a pure numpy-performance rewrite of the signature
-stage's hot loop — every output must stay IDENTICAL to the per-doc spec
-implementations (shingle_hashes / batch_shingle_hashes / np.unique /
-``%``), which in turn are fuzzed against the pure-python oracle
-(tests/test_properties.py).  CLAUDE.md hard rule: signature arithmetic is
-bit-identical across numpy, DuckDB SQL, and the python oracle — this file
-pins the numpy side across its two implementations.
+hashing.batch_hash_streams / batch_distinct_per_doc / the Mersenne fold /
+shingle_hashes_ladder are numpy rewrites of the signature hash math.
+They were briefly wired into the signature hot loop in round 5, then
+UNWIRED after an interleaved in-pipeline A/B showed the full-stream
+materialization losing ~20-60% to the shipping cache-blocked path under
+8 concurrent python workers (see BENCH.md "Fused signature-stage
+hashing: a recorded NEGATIVE result") — single-process micro-benchmarks
+had shown the opposite.
+The utilities stay because they are correct, independently useful
+(ladder gram hashes beat a 256-wide matmul at large k), and this parity
+pin is what makes any future re-wiring attempt cheap to validate:
+every output must stay IDENTICAL to the per-doc spec implementations
+(shingle_hashes / batch_shingle_hashes / np.unique / ``%``), which are
+themselves fuzzed against the pure-python oracle (tests/test_properties.py).
 """
 
 from __future__ import annotations
