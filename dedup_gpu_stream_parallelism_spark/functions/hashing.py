@@ -337,7 +337,9 @@ def minhash_signatures(
     sig = np.full((n_docs, cfg.num_perm), cfg.empty_min, dtype=np.int64)
     if flat_hashes.shape[0] == 0:
         return sig
-    buf = np.empty(min(flat_hashes.shape[0], 2 * BLOCK_SHINGLES), dtype=np.int64)
+    cap = min(flat_hashes.shape[0], 2 * BLOCK_SHINGLES)
+    buf = np.empty(cap, dtype=np.int64)
+    tmp = np.empty(cap, dtype=np.int64)
     for d0, d1 in _doc_blocks(starts, BLOCK_SHINGLES):
         lo, hi = starts[d0], starts[d1]
         sub = flat_hashes[lo:hi]
@@ -349,12 +351,29 @@ def minhash_signatures(
         docsel = np.arange(d0, d1)[ne]
         if buf.shape[0] < sub.shape[0]:
             buf = np.empty(sub.shape[0], dtype=np.int64)
+            tmp = np.empty(sub.shape[0], dtype=np.int64)
         bv = buf[: sub.shape[0]]
+        tv = tmp[: sub.shape[0]]
         for t in range(cfg.num_perm):
-            # a_t*h + b_t mod P; a<P, h<P ⇒ product < 2**62, ok in int64
+            # a_t*h + b_t mod P; a<P, h<P, b<P ⇒ sum < 2**62, ok in int64.
+            # The mod is the Mersenne shift-add fold (2**31 ≡ 1 mod P):
+            # bit-identical to ``%`` (same math as _fold_mersenne_inplace,
+            # fuzzed in tests/test_fused_hashing.py) but ~7 cheap vector
+            # ops instead of an int64 division — the division was the
+            # hottest single op of the sign stage.  After two folds values
+            # sit in [0, P+1]; the subtract-P tail is so rare that one
+            # max() gate usually replaces the masked-subtract passes.
+            # All temporaries live in the reused L2-resident buffers.
             np.multiply(sub, a[t], out=bv)
             bv += b[t]
-            bv %= MERSENNE
+            np.right_shift(bv, 31, out=tv)
+            bv &= MERSENNE
+            bv += tv
+            np.right_shift(bv, 31, out=tv)
+            bv &= MERSENNE
+            bv += tv
+            if bv.max() >= MERSENNE:  # pragma: no cover - ~2**-31 per elem
+                np.subtract(bv, MERSENNE, out=bv, where=bv >= MERSENNE)
             sig[docsel, t] = np.minimum.reduceat(bv, idx)
     return sig
 
