@@ -43,11 +43,18 @@ Decode mirrors LzssDecodeMemory: same pre-filled window, tokens read until
 the bit stream is exhausted, a mid-token EOF discards the partial token
 (zero pad bits always parse as an ENCODED flag that then hits EOF).
 
-Cost model: encode builds one stable trigram argsort, then per coded
-token two binary searches enumerate exactly the length-≥3 contenders
-(no 4096-byte window scan) and one (K × 15) compare picks the C-scan
-winner; inputs above ``_SKIP_FILTER_MAX_BYTES`` fall back to an exact
-per-token window scan.  Decode is
+Cost model: the C scan's winner is "the LEFTMOST occurrence of the
+LONGEST matching prefix" (oldest wins length ties, first length-18 stops
+the scan), so the greedy walk finds it with ``bytes.find`` — C-speed
+memmem over the virtual stream, restarting from the previous hit with a
+one-byte-longer prefix — for every candidate whose 18-byte extension
+stays left of the window head.  The head-crossing candidates (distance
+≤ 17, where the C matcher wraps 4096 back) come precomputed from the
+skip filter's near-candidate matrix and merge by the scan's slot order.
+No per-token numpy calls remain; a trigram argsort feeds only the
+literal skip filter, and the whole token stream is packed in one
+vectorized pass.  Inputs above ``_SKIP_FILTER_MAX_BYTES`` fall back to
+an exact per-token window scan.  Decode is
 O(compressed + output): one ``np.unpackbits`` pass, a per-token boundary
 walk over a bytes object (~0.1 µs/token), then vectorized field
 extraction, one scatter for all literals, and 1-2 numpy slice copies per
@@ -69,6 +76,9 @@ _SPACE = 0x20
 # above this, the encode skip-filter's O(n) int64 temporaries (~80 B per
 # input byte) would rival executor memory — fall back to per-token scans
 _SKIP_FILTER_MAX_BYTES = 64 << 20
+# literal runs at least this long are emitted as one contiguous
+# unpackbits block; shorter ones go through the column scatter
+_LONG_LIT_RUN = 32
 
 
 class _BitWriter:
@@ -89,23 +99,6 @@ class _BitWriter:
             self.nbits -= 8
             self.out.append((self.acc >> self.nbits) & 0xFF)
         self.acc &= (1 << self.nbits) - 1
-
-    def put_bit_array(self, bits: np.ndarray) -> None:
-        """Append an MSB-first 0/1 uint8 array in one numpy pass —
-        whole literal runs go through packbits instead of per-byte
-        python calls."""
-        if self.nbits:
-            lead = np.empty(self.nbits, dtype=np.uint8)
-            for i in range(self.nbits):  # <= 7 buffered bits
-                lead[i] = (self.acc >> (self.nbits - 1 - i)) & 1
-            bits = np.concatenate([lead, bits])
-            self.acc = 0
-            self.nbits = 0
-        nbytes = bits.size // 8
-        self.out += np.packbits(bits[: nbytes * 8]).tobytes()
-        for b in bits[nbytes * 8 :]:  # <= 7 tail bits back into the buffer
-            self.acc = (self.acc << 1) | int(b)
-            self.nbits += 1
 
     def tobytes(self) -> bytes:
         if self.nbits:
@@ -158,15 +151,18 @@ def _skip_filter(
       bytes past the window head come from 4096 positions back — computed
       exactly as 17 vectorized leading-AND runs.
 
-    Memory: ~32 bytes per input byte of int64 temporaries.  Payloads here
-    are unique chunks/docs (KBs..MBs); above ``_SKIP_FILTER_MAX_BYTES``
-    the filter is skipped and every position takes the exact per-token
-    scan — unbounded-size inputs stay correct, just slower.
+    Memory: ~21 bytes per input byte (the int8 near matrix plus the
+    trigram index's int64 ``s``/``order``).  Payloads here are unique
+    chunks/docs (KBs..MBs); above ``_SKIP_FILTER_MAX_BYTES`` the filter
+    is skipped and every position takes the exact per-token scan —
+    unbounded-size inputs stay correct, just slower.
 
-    Returns ``(U, near1, near2)``: the d=1 and d=2 leading-run lengths are
-    EXACT per-position match lengths at window slots 4095/4094 (the two
-    slots whose first three compare bytes wrap, invisible to the trigram
-    index) — the match table consumes them as the near-candidate arm.
+    Returns ``(U, near)``: ``near[d, c]`` (d = 1..17) is the EXACT
+    C-semantics match length at window slot ``4096 - d`` — the leading
+    equal run with the circular-wrap rule applied from byte ``d`` on.
+    These are the candidates whose 18-byte extension can cross the window
+    head, which the ``bytes.find`` far arm cannot see — the walk merges
+    them by scan-slot order.
     """
     N = V.shape[0]
     # far/contiguous: position i has a 3-byte match at distance <= 4096
@@ -176,33 +172,50 @@ def _skip_filter(
     same = (s[1:] - s[:-1]) == (order[1:] - order[:-1])
     cur, prev = order[1:][same], order[:-1][same]
     ok = cur - prev <= WINDOW_SIZE
-    u1 = np.zeros(N, dtype=np.int64)
+    u1 = np.zeros(N, dtype=np.int8)
     u1[cur[ok]] = 3
     u1 = u1[WINDOW_SIZE:]
     # pad so t+j reads past the end are defined (tail positions use the
     # slow path anyway — their U values are never consulted)
     Vp = np.concatenate([V, np.zeros(MAX_CODED, dtype=np.uint8)])
-    u2 = np.zeros(n, dtype=np.int64)
-    near1 = near2 = np.zeros(0, dtype=np.int64)
+    u2 = np.zeros(n, dtype=np.int8)
+    near = np.zeros((MAX_CODED, n), dtype=np.int8)  # lengths <= 18 fit int8
+    eq = np.empty(n, dtype=bool)
     t0 = WINDOW_SIZE
     for d in range(1, MAX_CODED):
         run = np.ones(n, dtype=bool)
-        ln = np.zeros(n, dtype=np.int64)
+        ln = near[d]  # accumulate in place — no cast/copy pass
         for j in range(MAX_CODED):
             if j < d:
                 a = Vp[t0 - d + j : t0 - d + j + n]
             else:
                 a = Vp[t0 - d + j - WINDOW_SIZE : t0 - d + j - WINDOW_SIZE + n]
-            run &= a == Vp[t0 + j : t0 + j + n]
+            np.equal(a, Vp[t0 + j : t0 + j + n], out=eq)
+            run &= eq
             if not run.any():
                 break
             ln += run
-        if d == 1:
-            near1 = ln.copy()
-        elif d == 2:
-            near2 = ln.copy()
         np.maximum(u2, ln, out=u2)
-    return np.maximum(u1, u2), near1, near2
+    return np.maximum(u1, u2), near
+
+
+def _near_best(
+    near: np.ndarray, maybe: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Winner among the head-crossing candidates, at the maybe-coded
+    positions only (the walk consults nobody else): the C scan visits
+    slot ``4096 - d`` for d = 17..1 in ascending-slot order and replaces
+    on strictly greater, so the largest d wins length ties — iterate d
+    descending with a strict-``>`` mask."""
+    sub = near[:, maybe]
+    nb_len = np.zeros(maybe.size, dtype=np.int64)
+    nb_slot = np.zeros(maybe.size, dtype=np.int64)
+    for d in range(MAX_CODED - 1, 0, -1):
+        ln = sub[d]
+        u = ln > nb_len
+        nb_len[u] = ln[u]
+        nb_slot[u] = WINDOW_SIZE - d
+    return nb_len, nb_slot
 
 
 def _find_match(V: np.ndarray, c: int, lk: np.ndarray, jj: np.ndarray) -> tuple[int, int]:
@@ -228,61 +241,60 @@ def _find_match(V: np.ndarray, c: int, lk: np.ndarray, jj: np.ndarray) -> tuple[
     return best_k, mlen
 
 
-def _fast_match(
+def _emit_tokens(
     V: np.ndarray,
-    SW: np.ndarray,
-    c: int,
-    lo: int,
-    hi: int,
-    order: np.ndarray,
-    near1: np.ndarray,
-    near2: np.ndarray,
-    jj3: np.ndarray,
-) -> tuple[int, int]:
-    """C FindMatch at a full-lookahead position via the trigram index.
+    lit_ranges: list[tuple[int, int]],
+    cod_c: list[int],
+    cod_off: list[int],
+    cod_len: list[int],
+) -> bytes:
+    """Pack the whole token stream in one vectorized pass.
 
-    Any length->=3 far candidate (window slots 0..4093) matches its first
-    three bytes contiguously, so the precomputed ``s``-range ``[lo, hi)``
-    enumerates exactly the contenders — no 4096-byte window scan, no
-    byte-0/byte-1 refinement over every 'e'-starts-here position.  One
-    (K x 15) compare of bytes 3..17 picks the C scan's winner: first
-    argmax == oldest-wins-ties and stop-at-the-first-length-18.  ``SW`` is
-    the zero-copy sliding window over ``V`` offset by the proven trigram
-    (``SW[q] == V[q+3 : q+18]``), so the usual no-wrap case is one
-    fancy-gather of candidate rows; only
-    candidates within 17 bytes of the window head read circularly (bytes
-    past the head come from 4096 back) and take the index-arithmetic
-    path.  Slots 4094/4095 wrap inside the first three bytes — their
-    exact lengths come precomputed from the skip filter and merge last,
-    replacing only on strictly-greater (the C scan reaches them after
-    every far slot, 4094 before 4095).  Shorter-than-3 outcomes return
-    length 0: the greedy emits a literal for anything <= MAX_UNCODED
-    either way."""
-    best_k, mlen = -1, 0
-    lkb = c + WINDOW_SIZE
-    if hi > lo:
-        qs = order[lo:hi]
-        if int(qs[-1]) < lkb - (MAX_CODED - 1):
-            # no candidate's 18-byte extension can reach the window head
-            neq = SW[qs] != SW[lkb]
-        else:
-            idx = qs[:, None] + jj3[None, :]
-            src = np.where(idx >= lkb, idx - WINDOW_SIZE, idx)
-            neq = V[src] != V[lkb + MAX_UNCODED + 1 : lkb + MAX_CODED]
-        first_bad = neq.argmax(axis=1)
-        lens = (MAX_UNCODED + 1) + first_bad
-        # argmax is 0 both for a mismatch AT byte 3 and for NO mismatch —
-        # disambiguate by the first column (cheaper than an any() reduce)
-        lens[(first_bad == 0) & ~neq[:, 0]] = MAX_CODED
-        at = int(lens.argmax())
-        best_k, mlen = int(qs[at]) - c, int(lens[at])
-    n2 = int(near2[c])
-    if n2 > mlen:
-        best_k, mlen = WINDOW_SIZE - 2, n2
-    n1 = int(near1[c])
-    if n1 > mlen:
-        best_k, mlen = WINDOW_SIZE - 1, n1
-    return best_k, mlen
+    Bit offsets need no sort: a token's start is ``9·(literal bytes
+    before it) + 17·(coded tokens before it)``, two searchsorteds over
+    the already-ascending position lists.  Long literal runs write one
+    contiguous ``np.unpackbits`` block each; short runs and coded tokens
+    scatter column-wise (9/16 one-dimensional uint8 scatters — the coded
+    flag bit is 0 and the bits array starts zeroed).  ``np.packbits``
+    zero-pads the final byte (BitMemoryToArray semantics)."""
+    rs = np.asarray(lit_ranges, dtype=np.int64).reshape(-1, 2)
+    r0, rl = rs[:, 0], rs[:, 1] - rs[:, 0]
+    litB = np.concatenate([[0], np.cumsum(rl)])  # literal bytes before range i
+    vc = np.asarray(cod_c, dtype=np.int64)
+    # ranges and coded positions are disjoint and each list is ascending
+    start_r = 9 * litB[:-1] + 17 * np.searchsorted(vc, r0)
+    start_c = 9 * litB[np.searchsorted(r0, vc)] + 17 * np.arange(vc.size)
+    bits = np.zeros(9 * int(litB[-1]) + 17 * vc.size, dtype=np.uint8)
+    long_m = rl >= _LONG_LIT_RUN
+    for s0, a, b in zip(
+        start_r[long_m].tolist(), r0[long_m].tolist(), rs[long_m, 1].tolist()
+    ):
+        block = np.empty((b - a, 9), dtype=np.uint8)
+        block[:, 0] = 1  # UNCODED flag per literal
+        block[:, 1:] = np.unpackbits(
+            V[WINDOW_SIZE + a : WINDOW_SIZE + b, None], axis=1
+        )
+        bits[s0 : s0 + 9 * (b - a)] = block.ravel()
+    sm = ~long_m
+    if sm.any():
+        srl = rl[sm]
+        within = np.arange(int(srl.sum())) - np.repeat(
+            np.cumsum(srl) - srl, srl
+        )
+        bpos = np.repeat(r0[sm], srl) + within
+        bstart = np.repeat(start_r[sm], srl) + 9 * within
+        vv = V[WINDOW_SIZE + bpos]
+        bits[bstart] = 1  # UNCODED flag
+        for i in range(8):
+            bits[bstart + 1 + i] = (vv >> (7 - i)) & 1
+    if vc.size:
+        off = np.asarray(cod_off, dtype=np.int64)
+        ln = np.asarray(cod_len, dtype=np.int64)
+        # ENCODED flag 0 (stays zeroed) + LE offset (low 8, high 4) + nibble
+        val = ((off & 0xFF) << 8) | ((off >> 8) << 4) | (ln - (MAX_UNCODED + 1))
+        for i in range(16):
+            bits[start_c + 1 + i] = ((val >> (15 - i)) & 1).astype(np.uint8)
+    return np.packbits(bits).tobytes()
 
 
 def lzss_encode(data: bytes) -> bytes:
@@ -294,83 +306,113 @@ def lzss_encode(data: bytes) -> bytes:
     exactly ``V[c : c+4096]`` in scan order (oldest first), the circular
     wrap near the head reads ``V[c + (k+j-4096)]``, the emitted offset is
     ``(c + k) % 4096``, and even the lookahead ring's stale tail slots are
-    ``V[4096 + c + j - 18]`` — so the whole encoder state is one integer."""
+    ``V[4096 + c + j - 18]`` — so the whole encoder state is one integer.
+
+    Three phases: (1) vectorized skip filter (which positions can code at
+    all, plus exact lengths for the head-crossing candidates), (2) the
+    greedy walk — pure python driven by ``bytes.find``: the C scan's
+    winner is the leftmost occurrence of the longest matching prefix, and
+    constraining ``find`` to end at the current position makes straight
+    extension exactly the C circular read for every candidate it can
+    return, (3) one vectorized pack of the whole token stream."""
     n = len(data)
     if n == 0:
         return b""  # lzss.cpp:500-503: empty input emits nothing
     V = np.empty(WINDOW_SIZE + n, dtype=np.uint8)
     V[:WINDOW_SIZE] = _SPACE
     V[WINDOW_SIZE:] = np.frombuffer(data, dtype=np.uint8)
-    w = _BitWriter()
     jj = np.arange(MAX_CODED)
     if n > _SKIP_FILTER_MAX_BYTES:
-        return _encode_scan(V, n, w, jj)
+        return _encode_scan(V, n, _BitWriter(), jj)
     k3, order, s = _trigram_index(V)
-    U, near1, near2 = _skip_filter(V, n, order, s)
+    U, near = _skip_filter(V, n, order, s)
     # fast-path positions (full 18-byte lookahead) that might code;
     # everything between two of these is a pure literal run
     lim = max(0, n - MAX_CODED + 1)
-    maybe_coded = np.flatnonzero(U[:lim] > MAX_UNCODED)
-    N = V.shape[0]
-    jj3 = np.arange(MAX_UNCODED + 1, MAX_CODED)
-    # SW[q] = V[q+3 : q+18] — candidate rows beyond the proven trigram
-    SW = np.lib.stride_tricks.sliding_window_view(
-        V[MAX_UNCODED + 1 :], MAX_CODED - MAX_UNCODED - 1
-    )
-    # candidate s-ranges for every maybe-coded position in two bulk
-    # searchsorteds (vs two binary-search CALLS per emitted token)
-    lo_d = np.zeros(lim, dtype=np.int64)
-    hi_d = np.zeros(lim, dtype=np.int64)
-    if maybe_coded.size:
-        base = k3[WINDOW_SIZE + maybe_coded].astype(np.int64) * N
-        lo_d[maybe_coded] = np.searchsorted(s, base + maybe_coded)
-        hi_d[maybe_coded] = np.searchsorted(
-            s, base + maybe_coded + WINDOW_SIZE - 2
-        )
+    maybe = np.flatnonzero(U[:lim] > MAX_UNCODED)
+    M = maybe.size
+    nb_len, nb_slot = _near_best(near, maybe)  # aligned to maybe index
+    maybe_l = maybe.tolist()
+    nb_len_l = nb_len.tolist()
+    nb_slot_l = nb_slot.tolist()
+    Vb = V.tobytes()
+    find = Vb.find
+    lit_ranges: list[tuple[int, int]] = []
+    cod_c: list[int] = []
+    cod_off: list[int] = []
+    cod_len: list[int] = []
+    lit_app = lit_ranges.append
+    cc_app, co_app, cl_app = cod_c.append, cod_off.append, cod_len.append
     c = 0
-    put = w.put
-    while c < n:
-        if n - c >= MAX_CODED:
-            if U[c] <= MAX_UNCODED:
-                # provably literal until the next maybe-coded position —
-                # emit the whole run as one vectorized 9-bits-per-byte pack
-                at = np.searchsorted(maybe_coded, c)
-                e = int(maybe_coded[at]) if at < maybe_coded.size else lim
-                run = np.unpackbits(
-                    V[WINDOW_SIZE + c : WINDOW_SIZE + e, None], axis=1
-                )
-                flagged = np.empty((e - c, 9), dtype=np.uint8)
-                flagged[:, 0] = 1  # UNCODED flag per literal
-                flagged[:, 1:] = run
-                w.put_bit_array(flagged.ravel())
-                c = e
-                continue
-            best_k, mlen = _fast_match(
-                V, SW, c, int(lo_d[c]), int(hi_d[c]), order, near1, near2, jj3
-            )
-            # remaining >= MAX_CODED >= mlen: the tail clamp can't trigger
-            if mlen <= MAX_UNCODED:
-                put(0x100 | int(V[WINDOW_SIZE + c]), 9)  # UNCODED flag + byte
-                c += 1
-            else:
-                # ENCODED flag 0 + LE offset (low 8, high 4) + length nibble
-                offset = (c + best_k) % WINDOW_SIZE
-                put(
-                    ((offset & 0xFF) << 8)
-                    | ((offset >> 8) << 4)
-                    | (mlen - (MAX_UNCODED + 1)),
-                    1 + OFFSET_BITS + LENGTH_BITS,
-                )
-                c += mlen
+    ptr = 0
+    while c < lim:
+        while ptr < M and maybe_l[ptr] < c:
+            ptr += 1
+        if ptr >= M:
+            lit_ranges.append((c, lim))
+            c = lim
+            break
+        p = maybe_l[ptr]
+        if p > c:
+            lit_ranges.append((c, p))  # provably-literal run
+            c = p
+            continue
+        # far arm: candidates whose match stays left of the window head.
+        # find(sub[:L], c, P) returns the oldest occurrence q with
+        # q + L <= P (straight bytes == C's circular read there) and
+        # q <= P - L <= c + 4093 (inside the scannable window) — growing
+        # L from each hit yields the leftmost-longest = the C winner
+        P = c + WINDOW_SIZE
+        sub = Vb[P : P + MAX_CODED]
+        Lf, qf = 0, -1
+        q = find(sub[: MAX_UNCODED + 1], c, P)
+        if q >= 0:
+            L = MAX_UNCODED + 1
+            while True:
+                cap = P - q
+                if cap > MAX_CODED:
+                    cap = MAX_CODED
+                while L < cap and Vb[q + L] == sub[L]:
+                    L += 1
+                Lf, qf = L, q
+                if L >= MAX_CODED:
+                    break
+                q = find(sub[: L + 1], q + 1, P)
+                if q < 0:
+                    break
+                L += 1
+        # near arm (head-crossing candidates): longer wins; on a length
+        # tie the C scan keeps the earlier (smaller) window slot
+        m, slot = Lf, qf - c
+        ln = nb_len_l[ptr]
+        if ln > m or (ln == m and nb_slot_l[ptr] < slot):
+            m, slot = ln, nb_slot_l[ptr]
+        # remaining >= MAX_CODED >= m: the tail clamp can't trigger
+        if m <= MAX_UNCODED:
+            lit_app((c, c + 1))
+            c += 1
         else:
-            c = _encode_tail_token(V, n, c, w, jj)
-    return w.tobytes()
+            cc_app(c)
+            co_app((c + slot) % WINDOW_SIZE)
+            cl_app(m)
+            c += m
+    while c < n:  # tail: fewer than 18 bytes of lookahead
+        bk, m = _tail_fields(V, n, c, jj)
+        if m <= MAX_UNCODED:
+            lit_ranges.append((c, c + 1))
+            c += 1
+        else:
+            cod_c.append(c)
+            cod_off.append((c + bk) % WINDOW_SIZE)
+            cod_len.append(m)
+            c += m
+    return _emit_tokens(V, lit_ranges, cod_c, cod_off, cod_len)
 
 
-def _encode_tail_token(
-    V: np.ndarray, n: int, c: int, w: _BitWriter, jj: np.ndarray
-) -> int:
-    """One token at a tail position (fewer than 18 bytes of lookahead):
+def _tail_fields(
+    V: np.ndarray, n: int, c: int, jj: np.ndarray
+) -> tuple[int, int]:
+    """Match fields at a tail position (fewer than 18 bytes of lookahead):
     ring slots past the input hold the bytes consumed 18 positions ago
     (or deterministic 0 where C reads garbage); the selected match is
     clamped to the remaining input after selection (lzss.cpp:515)."""
@@ -381,6 +423,15 @@ def _encode_tail_token(
     best_k, mlen = _find_match(V, c, lk, jj)
     if mlen > n - c:
         mlen = n - c  # garbage-extended tail match, clamped
+    return best_k, mlen
+
+
+def _encode_tail_token(
+    V: np.ndarray, n: int, c: int, w: _BitWriter, jj: np.ndarray
+) -> int:
+    """One tail token through the bit writer (the ``_encode_scan``
+    fallback's emitter)."""
+    best_k, mlen = _tail_fields(V, n, c, jj)
     if mlen <= MAX_UNCODED:
         w.put(1, 1)  # UNCODED flag
         w.put(int(V[WINDOW_SIZE + c]), 8)
