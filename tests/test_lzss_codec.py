@@ -245,3 +245,49 @@ def test_bit_exact_structured_shapes_vs_reference():
         assert mine == ref(data), f"encode mismatch on shape {data[:24]!r}"
         assert lzss_decode(mine) == data
         assert ref(mine, "-d") == data
+
+
+def test_scan_fallback_matches_fast_path(monkeypatch):
+    """The >_SKIP_FILTER_MAX_BYTES fallback (_encode_scan: per-token
+    window scan through _BitWriter) and the find-driven fast path are
+    INDEPENDENT matcher+emitter implementations of the same spec — force
+    the fallback by shrinking the cap and require identical streams."""
+    from dedup_gpu_stream_parallelism_spark.functions import lzss_codec
+
+    rng = random.Random(7)
+    payloads = [
+        bytes(rng.randrange(256) for _ in range(n)) for n in (1, 17, 18, 600)
+    ] + [
+        bytes(rng.choice(b"ab c") for _ in range(5000)),
+        b"x" * 900,
+        (b"def f(): return chunk\n" * 80)[:1500],
+    ]
+    want = [lzss_codec.lzss_encode(p) for p in payloads]
+    monkeypatch.setattr(lzss_codec, "_SKIP_FILTER_MAX_BYTES", 0)
+    got = [lzss_codec.lzss_encode(p) for p in payloads]
+    assert got == want
+    for p, enc in zip(payloads, got):
+        assert lzss_decode(enc) == p
+
+
+def test_long_literal_run_emission_boundary():
+    """Literal runs around _LONG_LIT_RUN (32) cross between the emission
+    paths (contiguous unpackbits block vs column scatter); verify streams
+    across the boundary against the independent scan-path emitter."""
+    from dedup_gpu_stream_parallelism_spark.functions import lzss_codec
+
+    rng = random.Random(11)
+    rep = b"0123456789abcdefghij"  # codes once the window has seen it
+    for run_len in (30, 31, 32, 33, 64):
+        lits = bytes(rng.randrange(256) for _ in range(run_len))
+        payload = rep * 3 + lits + rep * 2 + lits[:run_len // 2] + rep
+        enc = lzss_codec.lzss_encode(payload)
+        assert lzss_decode(enc) == payload
+        w = lzss_codec._BitWriter()
+        import numpy as np
+
+        V = np.empty(WINDOW_SIZE + len(payload), dtype=np.uint8)
+        V[:WINDOW_SIZE] = 0x20
+        V[WINDOW_SIZE:] = np.frombuffer(payload, dtype=np.uint8)
+        ref = lzss_codec._encode_scan(V, len(payload), w, np.arange(MAX_CODED))
+        assert enc == ref
