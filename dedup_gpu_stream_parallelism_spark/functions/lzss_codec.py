@@ -148,8 +148,9 @@ def _skip_filter(
       near-contiguous hits can only overestimate, which is safe for a
       skip filter);
     * near candidates (distance 1..17) follow the C circular-wrap rule —
-      bytes past the window head come from 4096 positions back — computed
-      exactly as 17 vectorized leading-AND runs.
+      bytes past the window head come from 4096 positions back — a dense
+      3-byte check per distance, then sparse gathered extension only at
+      the hits (real text: ~4% of positions have any near candidate).
 
     Memory: ~21 bytes per input byte (the int8 near matrix plus the
     trigram index's int64 ``s``/``order``).  Payloads here are unique
@@ -157,9 +158,13 @@ def _skip_filter(
     is skipped and every position takes the exact per-token scan —
     unbounded-size inputs stay correct, just slower.
 
-    Returns ``(U, near)``: ``near[d, c]`` (d = 1..17) is the EXACT
-    C-semantics match length at window slot ``4096 - d`` — the leading
-    equal run with the circular-wrap rule applied from byte ``d`` on.
+    Returns ``(U, near)``: ``U`` is 3 where a candidate could reach coded
+    length, 0 elsewhere (the walk only ever tests ``> MAX_UNCODED``).
+    ``near[d, c]`` (d = 1..17) is the EXACT C-semantics match length at
+    window slot ``4096 - d`` — the leading equal run with the
+    circular-wrap rule applied from byte ``d`` on — wherever that length
+    reaches 3 (shorter lengths lose every merge: the walk emits a literal
+    at ``m <= MAX_UNCODED`` regardless of slot, so they are left 0).
     These are the candidates whose 18-byte extension can cross the window
     head, which the ``bytes.find`` far arm cannot see — the walk merges
     them by scan-slot order.
@@ -178,25 +183,50 @@ def _skip_filter(
     # pad so t+j reads past the end are defined (tail positions use the
     # slow path anyway — their U values are never consulted)
     Vp = np.concatenate([V, np.zeros(MAX_CODED, dtype=np.uint8)])
-    u2 = np.zeros(n, dtype=np.int8)
     near = np.zeros((MAX_CODED, n), dtype=np.int8)  # lengths <= 18 fit int8
     eq = np.empty(n, dtype=bool)
     t0 = WINDOW_SIZE
     for d in range(1, MAX_CODED):
-        run = np.ones(n, dtype=bool)
-        ln = near[d]  # accumulate in place — no cast/copy pass
-        for j in range(MAX_CODED):
+        # dense: does the 3-byte prefix match at distance d?  (3 passes
+        # over n instead of up to 18 — lengths below 3 lose every merge)
+        run3 = np.ones(n, dtype=bool)
+        for j in range(MAX_UNCODED + 1):
             if j < d:
                 a = Vp[t0 - d + j : t0 - d + j + n]
             else:
                 a = Vp[t0 - d + j - WINDOW_SIZE : t0 - d + j - WINDOW_SIZE + n]
             np.equal(a, Vp[t0 + j : t0 + j + n], out=eq)
-            run &= eq
-            if not run.any():
+            run3 &= eq
+            if not run3.any():
                 break
-            ln += run
-        np.maximum(u2, ln, out=u2)
-    return np.maximum(u1, u2), near
+        else:
+            ln = near[d]
+            if int(run3.sum()) > (n >> 3):
+                # dense hits (self-similar payloads): contiguous slice
+                # compares beat gathered ones ~10x per element
+                u1 |= 3 * run3.astype(np.int8)
+                ln += 3 * run3.astype(np.int8)
+                run = run3
+                for j in range(MAX_UNCODED + 1, MAX_CODED):
+                    off = t0 - d + j if j < d else t0 - d + j - WINDOW_SIZE
+                    np.equal(Vp[off : off + n], Vp[t0 + j : t0 + j + n], out=eq)
+                    run = run & eq
+                    if not run.any():
+                        break
+                    ln += run
+            else:
+                # sparse hits (real text: ~4% of positions have any near
+                # candidate): exact wrapped lengths via shrinking gathers
+                alive = np.flatnonzero(run3)
+                ln[alive] = MAX_UNCODED + 1
+                u1[alive] = 3
+                for j in range(MAX_UNCODED + 1, MAX_CODED):
+                    off = t0 - d + j if j < d else t0 - d + j - WINDOW_SIZE
+                    alive = alive[Vp[alive + off] == Vp[alive + t0 + j]]
+                    if alive.size == 0:
+                        break
+                    ln[alive] += 1
+    return u1, near
 
 
 def _near_best(
