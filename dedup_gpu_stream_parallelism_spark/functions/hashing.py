@@ -58,6 +58,10 @@ def shingle_hashes_from_codes(codes: np.ndarray, k: int, base: int) -> np.ndarra
         acc = (acc * base) % MERSENNE
     # windows: (n-k+1, k) view, dot with weights, mod P.
     # codes < 0x110000 and w < P ⇒ each term < 2**52, k<=16 terms ⇒ < 2**56.
+    # The Mersenne shift-add fold LOSES here (8-worker A/B, all reps,
+    # +20-40%): unlike the L2-blocked MinHash buffers, the matmul output
+    # is a fresh DRAM-resident array, and one division pass beats six
+    # cheap passes — keep the ``%``.
     windows = np.lib.stride_tricks.sliding_window_view(codes, k)
     return (windows @ w) % MERSENNE
 
