@@ -55,10 +55,11 @@ No per-token numpy calls remain; a trigram argsort feeds only the
 literal skip filter, and the whole token stream is packed in one
 vectorized pass.  Inputs above ``_SKIP_FILTER_MAX_BYTES`` fall back to
 an exact per-token window scan.  Decode is
-O(compressed + output): one ``np.unpackbits`` pass, a per-token boundary
-walk over a bytes object (~0.1 µs/token), then vectorized field
-extraction, one scatter for all literals, and 1-2 numpy slice copies per
-coded token (working memory ~17 B per compressed byte).  Both are called
+O(compressed + output): one ``np.unpackbits`` pass, a RUN-level boundary
+walk (strided ``bytes`` find over maximal literal/coded runs), then
+vectorized field extraction, one scatter for all literals, and 1-2
+bytearray slice copies per coded token (working memory ~17 B per
+compressed byte).  Both are called
 per unique chunk (~KBs) inside Arrow-batched UDFs — never per row of a
 driver loop.
 """
@@ -495,6 +496,12 @@ def _encode_scan(V: np.ndarray, n: int, w: _BitWriter, jj: np.ndarray) -> bytes:
     return w.tobytes()
 
 
+# how many same-kind tokens each strided probe in lzss_decode's pass 1
+# inspects at once; bounds the per-probe slice copy while keeping the
+# boundary walk at run (not token) granularity
+_RUN_PROBE = 4096
+
+
 def lzss_decode(data: bytes) -> bytes:
     """Inverse walk (LzssDecodeMemory, lzss.cpp:347-452): tokens until the
     bits run out; zero pad bits parse as ENCODED-then-EOF and are dropped.
@@ -508,11 +515,15 @@ def lzss_decode(data: bytes) -> bytes:
     destination in ``V``.  Every copy is therefore 1-2 contiguous slices
     (one when the circular read doesn't wrap, two when it does).
 
-    Pass 1 walks token boundaries (the only data-dependent part) over a
-    bytes object; everything else — field extraction via a sliding-byte
-    table, output offsets via cumsum, all literals via one scatter — is
-    numpy.  O(compressed + output) time, ~17 B of temporaries per
-    compressed byte."""
+    Pass 1 walks token boundaries at RUN granularity: the stream is an
+    alternation of maximal literal runs (9-bit stride) and coded runs
+    (17-bit stride), so each run resolves with C-speed strided ``bytes``
+    slices + ``find`` instead of a per-token Python step — and because the
+    runs come out in stream order, token output offsets follow from one
+    cumsum with no sort.  Field extraction uses a sliding-byte table, all
+    literals land in one scatter, and coded copies run as bytearray slice
+    assignments (C memcpy per token).  O(compressed + output) time, ~17 B
+    of temporaries per compressed byte."""
     if not data:
         return b""
     bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
@@ -523,55 +534,82 @@ def lzss_decode(data: bytes) -> bytes:
     byte_at = np.zeros(nbits, dtype=np.uint8)
     for i in range(8):
         byte_at += bp[i : i + nbits] << np.uint8(7 - i)
-    # pass 1: token starts.  Literal = 9 bits, coded = 17; a token whose
-    # bits run out mid-stream is discarded (pad-bit semantics above).
+    # pass 1: maximal same-kind runs.  Literal = 9 bits, coded = 17; a
+    # token whose bits run out mid-stream is discarded (pad-bit semantics
+    # above), which is exactly the `p <= limit` bound on each run.
     flags = bits.tobytes()
-    lit_starts: list[int] = []
-    cod_starts: list[int] = []
-    lit_append, cod_append = lit_starts.append, cod_starts.append
     lit_max, cod_max = nbits - 9, nbits - 17
+    run_is_lit: list[bool] = []
+    run_start: list[int] = []
+    run_count: list[int] = []
     p = 0
     while True:
         if p <= lit_max and flags[p]:
-            lit_append(p)
-            p += 9
+            stride, stop_byte, limit = 9, 0, lit_max
         elif p <= cod_max and not flags[p]:
-            cod_append(p)
-            p += 17
+            stride, stop_byte, limit = 17, 1, cod_max
         else:
             break
-    nl, nc = len(lit_starts), len(cod_starts)
-    P_l = np.asarray(lit_starts, dtype=np.int64)
-    P_c = np.asarray(cod_starts, dtype=np.int64)
+        start = p
+        k = 0
+        while p <= limit:
+            chunk = flags[p : min(limit + 1, p + stride * _RUN_PROBE) : stride]
+            j = chunk.find(stop_byte)
+            if j >= 0:
+                k += j
+                p += stride * j
+                break
+            k += len(chunk)
+            p += stride * len(chunk)
+        run_is_lit.append(stride == 9)
+        run_start.append(start)
+        run_count.append(k)
+    counts_r = np.asarray(run_count, dtype=np.int64)
+    n_tok = int(counts_r.sum()) if counts_r.size else 0
+    if n_tok == 0:
+        return b""
+    starts_r = np.asarray(run_start, dtype=np.int64)
+    # expand runs to per-token bit positions, already in stream order
+    is_lit = np.repeat(np.asarray(run_is_lit, dtype=bool), counts_r)
+    first_tok = np.concatenate(
+        [np.zeros(1, dtype=np.int64), np.cumsum(counts_r)[:-1]]
+    )
+    within = np.arange(n_tok, dtype=np.int64) - np.repeat(first_tok, counts_r)
+    P = np.repeat(starts_r, counts_r) + np.where(is_lit, 9, 17) * within
+    P_l = P[is_lit]
+    P_c = P[~is_lit]
     # little-endian GetBitsNum field order: low offset byte, then bits 11..8
     off = byte_at[P_c + 1].astype(np.int64) | (
         (byte_at[P_c + 9] >> 4).astype(np.int64) << 8
     )
     ln = (byte_at[P_c + 13] >> 4).astype(np.int64) + (MAX_UNCODED + 1)
     # output offset of every token = exclusive cumsum in stream order
-    sizes = np.concatenate([np.ones(nl, dtype=np.int64), ln])
-    order = np.argsort(np.concatenate([P_l, P_c]), kind="stable")
-    csum = np.cumsum(sizes[order])
-    total = int(csum[-1]) if csum.size else 0
-    starts = np.empty(nl + nc, dtype=np.int64)
-    starts[order] = csum - sizes[order]
-    V = np.empty(WINDOW_SIZE + total, dtype=np.uint8)
+    sizes = np.ones(n_tok, dtype=np.int64)
+    sizes[~is_lit] = ln
+    csum = np.cumsum(sizes)
+    total = int(csum[-1])
+    out_start = csum - sizes
+    # bytearray output so pass 2's tiny per-token copies are C-level slice
+    # assignments; numpy scatters through a writable frombuffer view
+    buf = bytearray(WINDOW_SIZE + total)
+    V = np.frombuffer(buf, dtype=np.uint8)
     V[:WINDOW_SIZE] = _SPACE
-    if nl:
-        V[WINDOW_SIZE + starts[:nl]] = byte_at[P_l + 1]
-    cod_out = starts[nl:].tolist()
+    if P_l.size:
+        V[WINDOW_SIZE + out_start[is_lit]] = byte_at[P_l + 1]
+    cod_out = out_start[~is_lit].tolist()
     off_l, ln_l = off.tolist(), ln.tolist()
-    for i in range(nc):
+    W = WINDOW_SIZE
+    for i in range(len(cod_out)):
         c, o, length = cod_out[i], off_l[i], ln_l[i]
-        r0 = (o - c) % WINDOW_SIZE
-        first = WINDOW_SIZE - r0
-        d = WINDOW_SIZE + c
+        r0 = (o - c) % W
+        first = W - r0
+        d = W + c
         if length <= first:
-            V[d : d + length] = V[c + r0 : c + r0 + length]
+            buf[d : d + length] = buf[c + r0 : c + r0 + length]
         else:
-            V[d : d + first] = V[c + r0 : c + WINDOW_SIZE]
-            V[d + first : d + length] = V[c : c + length - first]
-    return V[WINDOW_SIZE:].tobytes()
+            buf[d : d + first] = buf[c + r0 : c + W]
+            buf[d + first : d + length] = buf[c : c + length - first]
+    return bytes(memoryview(buf)[W:])
 
 
 def lzss_bound(n: int) -> int:
