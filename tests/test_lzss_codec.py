@@ -291,3 +291,43 @@ def test_long_literal_run_emission_boundary():
         V[WINDOW_SIZE:] = np.frombuffer(payload, dtype=np.uint8)
         ref = lzss_codec._encode_scan(V, len(payload), w, np.arange(MAX_CODED))
         assert enc == ref
+
+
+@pytest.mark.skipif(
+    _build_reference_oracle() is None,
+    reason="g++ or reference lzsslib sources unavailable",
+)
+def test_decode_adversarial_streams_vs_reference():
+    """Decode ARBITRARY byte blobs — bit streams no encoder emits — and
+    match LzssDecodeMemory byte-for-byte.  Pins the run-level pass-1 walk
+    (maximal literal/coded runs, truncated-token discard) and the
+    wrap-copy arithmetic on inputs where token kinds, offsets and lengths
+    are unconstrained, not just on well-formed encoder output."""
+    import numpy as np
+
+    exe = _build_reference_oracle()
+
+    def ref_decode(blob: bytes) -> bytes:
+        p = subprocess.run([exe, "-d"], input=blob, capture_output=True)
+        assert p.returncode == 0
+        return p.stdout
+
+    rng = random.Random(2718)
+    nprng = np.random.default_rng(2718)
+    for trial in range(60):
+        n = rng.choice([1, 2, 3, 17, 64, 400, 2000])
+        if trial % 3 == 0:
+            blob = rng.randbytes(n)  # uniform bits: mixed short runs
+        else:
+            # biased bit density: long literal runs (p1 high) or long
+            # coded runs (p1 low), crossing the strided-probe boundary
+            p1 = 0.95 if trial % 3 == 1 else 0.05
+            bits = (nprng.random(n * 8) < p1).astype(np.uint8)
+            blob = np.packbits(bits).tobytes()
+        assert lzss_decode(blob) == ref_decode(blob), (trial, n, blob.hex())
+    # exact run-multiple lengths and trailing partial tokens
+    for extra in (0, 1, 5, 8, 9, 16, 17):
+        lit_run = np.packbits(np.ones(9 * 40 + extra, dtype=np.uint8)).tobytes()
+        cod_run = np.packbits(np.zeros(17 * 40 + extra, dtype=np.uint8)).tobytes()
+        assert lzss_decode(lit_run) == ref_decode(lit_run), ("lit", extra)
+        assert lzss_decode(cod_run) == ref_decode(cod_run), ("cod", extra)
