@@ -145,7 +145,7 @@ def _dense_rank_ids(
     sort_cols: list[str],
     out_col: str = "rid",
     n_parts: int | None = None,
-) -> tuple[DataFrame, int]:
+) -> tuple[DataFrame, int, DataFrame]:
     """Global dense rank over ``sort_cols`` WITHOUT a single-task sort:
     ``repartitionByRange`` orders partitions globally, a per-partition
     count job yields each partition's starting offset, and a mapInPandas
