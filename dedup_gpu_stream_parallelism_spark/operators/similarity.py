@@ -666,7 +666,7 @@ def ann_near_dup_pairs(
         bucketize, schema="vec_id bigint, vec array<float>, bucket bigint"
     )
 
-    def per_bucket(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def per_bucket(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         if max_bucket is not None and len(pdf) > max_bucket:
             pdf = pdf.sort_values("vec_id").head(max_bucket)
         ids, mat = _normalized_matrix(pdf, "vec_id", "vec")
