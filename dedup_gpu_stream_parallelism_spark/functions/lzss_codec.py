@@ -520,20 +520,26 @@ def lzss_decode(data: bytes) -> bytes:
     (17-bit stride), so each run resolves with C-speed strided ``bytes``
     slices + ``find`` instead of a per-token Python step — and because the
     runs come out in stream order, token output offsets follow from one
-    cumsum with no sort.  Field extraction uses a sliding-byte table, all
+    cumsum with no sort.  Fields extract on demand via two gathers from a
+    16-bit byte window (only token positions, never every bit), all
     literals land in one scatter, and coded copies run as bytearray slice
     assignments (C memcpy per token).  O(compressed + output) time, ~17 B
     of temporaries per compressed byte."""
     if not data:
         return b""
-    bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+    dbytes = np.frombuffer(data, dtype=np.uint8)
+    bits = np.unpackbits(dbytes)
     nbits = bits.size
-    # byte_at[q] = bits[q..q+7] as an MSB-first byte (zero-padded past EOF);
-    # a 4-bit field at q is then byte_at[q] >> 4
-    bp = np.concatenate([bits, np.zeros(8, dtype=np.uint8)])
-    byte_at = np.zeros(nbits, dtype=np.uint8)
-    for i in range(8):
-        byte_at += bp[i : i + nbits] << np.uint8(7 - i)
+    # field_at(q) = bits[q..q+7] as an MSB-first byte, extracted on demand
+    # from a 16-bit window over the source bytes — two gathers at the
+    # positions that need a field, instead of a full sliding-byte table
+    # over every bit position (token fields touch < 1/9 of them)
+    dpad = np.concatenate([dbytes, np.zeros(2, dtype=np.uint8)])
+
+    def field_at(q: np.ndarray) -> np.ndarray:
+        byt = q >> 3
+        w = (dpad[byt].astype(np.int64) << 8) | dpad[byt + 1]
+        return (w >> (8 - (q & 7))) & 0xFF
     # pass 1: maximal same-kind runs.  Literal = 9 bits, coded = 17; a
     # token whose bits run out mid-stream is discarded (pad-bit semantics
     # above), which is exactly the `p <= limit` bound on each run.
@@ -579,10 +585,8 @@ def lzss_decode(data: bytes) -> bytes:
     P_l = P[is_lit]
     P_c = P[~is_lit]
     # little-endian GetBitsNum field order: low offset byte, then bits 11..8
-    off = byte_at[P_c + 1].astype(np.int64) | (
-        (byte_at[P_c + 9] >> 4).astype(np.int64) << 8
-    )
-    ln = (byte_at[P_c + 13] >> 4).astype(np.int64) + (MAX_UNCODED + 1)
+    off = field_at(P_c + 1) | ((field_at(P_c + 9) >> 4) << 8)
+    ln = (field_at(P_c + 13) >> 4) + (MAX_UNCODED + 1)
     # output offset of every token = exclusive cumsum in stream order
     sizes = np.ones(n_tok, dtype=np.int64)
     sizes[~is_lit] = ln
@@ -595,7 +599,7 @@ def lzss_decode(data: bytes) -> bytes:
     V = np.frombuffer(buf, dtype=np.uint8)
     V[:WINDOW_SIZE] = _SPACE
     if P_l.size:
-        V[WINDOW_SIZE + out_start[is_lit]] = byte_at[P_l + 1]
+        V[WINDOW_SIZE + out_start[is_lit]] = field_at(P_l + 1)
     cod_out = out_start[~is_lit].tolist()
     off_l, ln_l = off.tolist(), ln.tolist()
     W = WINDOW_SIZE
