@@ -7,8 +7,8 @@ The LZSS codec is already fuzz-verified bit-exact against compiled lzsslib
 (test_lzss_codec.py) and the record framing against golden bytes
 (test_ddp_format.py); this module proves the COMPOSITION:
 
-* reference ``dedup -c -w lzss/none`` output imports through ``import_ddp``
-  and reconstructs the original input byte-for-byte;
+* reference ``dedup -c -w lzss/none/gzip/bzip2`` output imports through
+  ``import_ddp`` and reconstructs the original input byte-for-byte;
 * an engine-exported single ``.ddp`` shard feeds ``dedup -u``
   (src/decoder.cpp:200-291) and reconstructs the corpus byte-for-byte.
 """
@@ -61,10 +61,10 @@ _LZSS_SRCS = ["lzss.cpp", "brute.cpp", "bitmemory.cpp", "bitfile.cpp"]
 
 def _build_reference_dedup() -> str | None:
     """Compile the reference's sequential dedup binary (cached); None when
-    the toolchain or sources are unavailable.  Only LZSS compression is
-    enabled — gzip/bzip2 need system dev headers this container may lack,
-    and the interop surface under test is lzss + none."""
-    exe = os.path.join(BUILD_DIR, "dedup_seq")
+    the toolchain or sources are unavailable.  All four compress types are
+    enabled (zlib/bz2 come from the system dev headers, same ABI as the
+    reference's vendored libs/zlib + libs/bzip2)."""
+    exe = os.path.join(BUILD_DIR, "dedup_seq_allcodecs")
     if os.path.exists(exe):
         return exe
     if not shutil.which("g++") or not os.path.isdir(REF_SRC):
@@ -76,12 +76,13 @@ def _build_reference_dedup() -> str | None:
     cmd = [
         "g++", "-O2", "-std=c++11", "-fpermissive", "-w",
         "-DENABLE_LZSS_COMPRESSION",
+        "-DENABLE_GZIP_COMPRESSION", "-DENABLE_BZIP2_COMPRESSION",
         "-I", BUILD_DIR, "-I", REF_SRC, "-I", REF_LZSS_SRC,
         "-o", exe,
         os.path.join(BUILD_DIR, "gpu_util_stub.cpp"),
         *[os.path.join(REF_SRC, s) for s in _SRCS],
         *[os.path.join(REF_LZSS_SRC, s) for s in _LZSS_SRCS],
-        "-lpthread",
+        "-lpthread", "-lz", "-lbz2",
     ]
     r = subprocess.run(cmd, capture_output=True)
     return exe if r.returncode == 0 and os.path.exists(exe) else None
@@ -117,7 +118,7 @@ needs_build = pytest.mark.skipif(
 
 @needs_build
 @pytest.mark.slow
-@pytest.mark.parametrize("codec", ["lzss", "none"])
+@pytest.mark.parametrize("codec", ["lzss", "none", "gzip", "bzip2"])
 def test_reference_output_imports(spark, tmp_path, codec):
     """dedup -c → import_ddp: the engine decodes a file produced by the
     reference binary itself, byte-for-byte — and agrees with dedup -u."""
@@ -146,7 +147,7 @@ def test_reference_output_imports(spark, tmp_path, codec):
 
 @needs_build
 @pytest.mark.slow
-@pytest.mark.parametrize("codec", ["lzss", "none"])
+@pytest.mark.parametrize("codec", ["lzss", "none", "gzip", "bzip2"])
 def test_reference_decodes_engine_export(spark, corpus_df, tmp_path, codec):
     """export_ddp → dedup -u: the reference binary reconstructs an
     engine-written single-shard stream byte-for-byte."""
