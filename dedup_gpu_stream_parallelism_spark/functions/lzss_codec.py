@@ -74,8 +74,9 @@ WINDOW_SIZE = 1 << OFFSET_BITS      # 4096
 MAX_UNCODED = 2
 MAX_CODED = (1 << LENGTH_BITS) + MAX_UNCODED  # 18
 _SPACE = 0x20
-# above this, the encode skip-filter's O(n) int64 temporaries (~80 B per
-# input byte) would rival executor memory — fall back to per-token scans
+# above this, the encode skip-filter's O(n) temporaries (~36 B per input
+# byte: 17-row int8 near matrix + int64 trigram index ⇒ ~2.3 GiB per task
+# at the cap) would rival executor memory — fall back to per-token scans
 _SKIP_FILTER_MAX_BYTES = 64 << 20
 # literal runs at least this long are emitted as one contiguous
 # unpackbits block; shorter ones go through the column scatter
@@ -115,26 +116,25 @@ def _put_offset_bits(w: _BitWriter, offset: int) -> None:
     w.put((offset >> 8) & 0xF, 4)
 
 
-def _trigram_index(V: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Shared 3-byte-key index over the virtual stream.
+def _trigram_index(V: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """3-byte-key index over the virtual stream, for the skip filter.
 
     ``k3[i]`` packs ``V[i..i+2]`` into one int; ``order`` is the STABLE
     argsort of ``k3`` (equal-key runs are position-ascending); ``s``
     composes ``key * N + position`` over that order — strictly increasing,
-    so "all positions with key K inside [a, b)" is two vectorized
-    searchsorteds.  Feeds both the skip filter (does any key repeat within
-    the window?) and the bulk match table (which occurrences, exactly)."""
+    so same-key adjacency (does any key repeat within the window?) is one
+    vectorized diff over ``(s, order)``."""
     N = V.shape[0]
     v32 = V.astype(np.int32)
     k3 = (v32[: N - 2] << 16) | (v32[1 : N - 1] << 8) | v32[2:]
     order = np.argsort(k3, kind="stable")
     s = k3[order].astype(np.int64) * N + order
-    return k3, order, s
+    return order, s
 
 
 def _skip_filter(
     V: np.ndarray, n: int, order: np.ndarray, s: np.ndarray
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+) -> tuple[np.ndarray, np.ndarray]:
     """U[c] — an exact-or-overestimating bound on the C matcher's match
     length at consumed-count ``c`` (for positions with a full 18-byte
     lookahead).  Positions with ``U <= MAX_UNCODED`` are PROVABLY uncoded,
@@ -153,8 +153,8 @@ def _skip_filter(
       3-byte check per distance, then sparse gathered extension only at
       the hits (real text: ~4% of positions have any near candidate).
 
-    Memory: ~21 bytes per input byte (the int8 near matrix plus the
-    trigram index's int64 ``s``/``order``).  Payloads here are unique
+    Memory: ~36 bytes per input byte at peak (the 17-row int8 ``near``
+    matrix plus the trigram index's int64 ``s``/``order``).  Payloads here are unique
     chunks/docs (KBs..MBs); above ``_SKIP_FILTER_MAX_BYTES`` the filter
     is skipped and every position takes the exact per-token scan —
     unbounded-size inputs stay correct, just slower.
@@ -355,7 +355,7 @@ def lzss_encode(data: bytes) -> bytes:
     jj = np.arange(MAX_CODED)
     if n > _SKIP_FILTER_MAX_BYTES:
         return _encode_scan(V, n, _BitWriter(), jj)
-    k3, order, s = _trigram_index(V)
+    order, s = _trigram_index(V)
     U, near = _skip_filter(V, n, order, s)
     # fast-path positions (full 18-byte lookahead) that might code;
     # everything between two of these is a pure literal run

@@ -139,13 +139,18 @@ def snapshot_repo() -> tuple[str, str, bool]:
     ).stdout.strip())
     snap = os.path.join("/tmp", f"scaling_snapshot_{commit[:12]}")
     if not os.path.exists(os.path.join(snap, "bench.py")):
+        # extract into a temp dir and rename: an interrupted tar must never
+        # leave a partial snapshot that later runs mistake for a complete one
         shutil.rmtree(snap, ignore_errors=True)
-        os.makedirs(snap)
+        tmp = snap + ".partial"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
         tar = subprocess.run(
             ["git", "archive", "HEAD"], capture_output=True, cwd=REPO,
             check=True,
         ).stdout
-        subprocess.run(["tar", "-x", "-C", snap], input=tar, check=True)
+        subprocess.run(["tar", "-x", "-C", tmp], input=tar, check=True)
+        os.replace(tmp, snap)
     return snap, commit, dirty
 
 
@@ -198,7 +203,14 @@ def write_round_artifact(payload: dict) -> str:
     clobbering it (the round-5 lesson: the overwrite destroyed the
     two-run variance ledger until restored from a manual backup)."""
     path = round_artifact_path()
-    if os.path.exists(path) and payload.get("kind") == "n_vs_4n":
+    if os.path.exists(path) and payload.get("kind") != "n_vs_4n":
+        # secondary runs (e.g. --sweep's core_sweep) nest under their kind —
+        # they must never clobber the headline n_vs_4n ledger
+        with open(path) as f:
+            old = json.load(f)
+        old[payload.get("kind") or "extra"] = payload
+        payload = old
+    elif os.path.exists(path) and payload.get("kind") == "n_vs_4n":
         with open(path) as f:
             old = json.load(f)
         runs = dict(old.get("runs", {}))
