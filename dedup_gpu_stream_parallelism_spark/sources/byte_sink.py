@@ -2,7 +2,7 @@
 
 ``export_ddp`` writes each shard as one sequential byte stream from inside
 an executor task — a write pattern Spark's columnar writers don't cover, so
-the stream writer talks to a minimal six-verb filesystem contract instead
+the stream writer talks to a minimal small filesystem contract instead
 of POSIX calls directly:
 
 * ``PosixByteSink`` (default) — the historical contract: local or shared
@@ -30,7 +30,7 @@ from typing import BinaryIO
 
 
 class ByteSink:
-    """Six-verb contract the ``.ddp`` record writer needs."""
+    """The filesystem contract the ``.ddp`` record writer needs."""
 
     def makedirs(self, path: str) -> None:
         raise NotImplementedError
