@@ -81,7 +81,12 @@ def q_cdc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    res = run_pipeline(docs, CFG, id_col="doc_id", text_col="text")
+    # pure-query shape: each stage feeds exactly one successor, so the
+    # whole DAG runs as one lineage (no per-stage checkpoint+count jobs;
+    # see run_pipeline's materialize doc) — results identical
+    res = run_pipeline(
+        docs, CFG, id_col="doc_id", text_col="text", materialize="edges"
+    )
     return res.clusters.orderBy("doc_id")
 
 
@@ -91,7 +96,9 @@ def q_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality_ok).  Composition of the flagship pipeline with the quality
     pre-filter."""
     docs = _docs(spark, sf_dir)
-    res = run_pipeline(docs, CFG, id_col="doc_id", text_col="text")
+    res = run_pipeline(
+        docs, CFG, id_col="doc_id", text_col="text", materialize="edges"
+    )
     qual = text_op.quality_score(docs).select("doc_id", "quality_ok")
     return (
         res.clusters.join(qual, "doc_id")
@@ -171,7 +178,12 @@ def q_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     confirmation.  Pure JVM zip_with/filter; integer-exact for the oracle."""
     from dedup_gpu_stream_parallelism_spark.operators import lsh as lsh_op
 
-    signed = _signed(spark, sf_dir)
+    # Materialize the signature UDF ONCE: this query fans three branches
+    # (banding + the a/b minhash joins) off the signed frame, and without a
+    # checkpoint Catalyst re-executes the engine's costliest MapInPandas in
+    # every branch (3x; round-5 verdict finding #1).  Narrow projection
+    # first so the checkpoint holds only (doc_id, minhash).
+    signed = _signed(spark, sf_dir).select("doc_id", "minhash").localCheckpoint()
     banded = lsh_op.band_keys(signed, CFG)
     cands = lsh_op.candidate_pairs(banded, CFG, strategy="all_pairs")
     a = signed.select(F.col("doc_id").alias("a_id"), F.col("minhash").alias("mh_a"))

@@ -196,7 +196,13 @@ def lzss_estimate_docs(docs, id_col: str = "doc_id", text_col: str = "text"):
     import pandas as pd
     from pyspark.sql import functions as F
 
-    src = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    from dedup_gpu_stream_parallelism_spark.partitioning import widen_if_narrow
+
+    # suffix-array LPF is CPU-bound python: spread a narrow scan across the
+    # cluster (one 580 KB parquet = ONE task otherwise; no-op when wide)
+    src = widen_if_narrow(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

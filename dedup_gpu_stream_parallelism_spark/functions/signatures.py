@@ -29,6 +29,7 @@ from dedup_gpu_stream_parallelism_spark.config import (
     DedupConfig,
 )
 from dedup_gpu_stream_parallelism_spark.functions import hashing
+from dedup_gpu_stream_parallelism_spark.partitioning import widen_if_narrow
 
 SIGNATURE_FIELDS = (
     "sha256 string, n_chars bigint, n_shingles bigint, "
@@ -119,6 +120,11 @@ def sign_documents(
     ``with_chunk_keys`` additionally emits the deduped CDC chunk keys from
     the SAME text pass (``chunk_keys array<bigint>``)."""
     cfg = cfg or DedupConfig()
+    # CPU-bound kernel: parallelism = partition count, not bytes.  A small
+    # corpus arrives as ONE scan partition (maxPartitionBytes packing) and
+    # would run the engine's costliest UDF on one core; no-op on wide
+    # inputs (run_pipeline pre-widens, real-scale scans are already wide).
+    df = widen_if_narrow(df)
     passthrough = [
         f for f in df.schema.fields if keep_text or f.name != text_col
     ]

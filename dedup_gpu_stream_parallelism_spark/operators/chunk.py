@@ -85,7 +85,13 @@ def chunk_documents(
 
     from pyspark.sql.types import BinaryType
 
-    src = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    from dedup_gpu_stream_parallelism_spark.partitioning import widen_if_narrow
+
+    # CDC is CPU-bound python: widen a narrow scan to cluster parallelism
+    # (no-op on already-wide inputs; see partitioning.widen_if_narrow)
+    src = widen_if_narrow(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    )
     is_binary = isinstance(src.schema["text"].dataType, BinaryType)
     payload_type = "binary" if is_binary else "string"
     schema = CHUNK_SCHEMA + (f", chunk_text {payload_type}" if with_payload else "")
@@ -149,7 +155,11 @@ def chunk_keys(
     of sha256(chunk); a truncation collision merely merges buckets, adding
     candidates the confirm stage rejects.  ``chunk_documents`` stays the
     full-fidelity variant (offsets + hex sha) for the manifest/oracle."""
-    src = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    from dedup_gpu_stream_parallelism_spark.partitioning import widen_if_narrow
+
+    src = widen_if_narrow(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -166,15 +166,41 @@ def run_pipeline(
     workdir: str | None = None,
     pair_strategy: str = "all_pairs",
     compute_lcs: bool = True,
+    materialize: str = "stages",
 ) -> PipelineResult:
     """Full near-dup detection + clustering over ``docs``.
 
     ``docs`` must carry a unique integer ``id_col`` and a string ``text_col``.
     Per-partition lineage: outputs carry ``partition_id``.
+
+    ``materialize`` picks the execution shape (results identical):
+
+    * ``"stages"`` (default) — every stage checkpoints (parquet under
+      ``workdir``, else ``localCheckpoint``) and reports a StageMetric.
+      The resumable / per-stage-attributed shape: snapshot restartability
+      and accurate AQE stats per stage, at the cost of one materialize +
+      one count action per stage (~10 scheduled jobs end to end).
+    * ``"edges"`` — the pure-query shape: every intermediate is used
+      exactly once downstream, so nothing is checkpointed and the whole
+      sign → band → pair → confirm DAG executes as ONE lineage whose only
+      action is the edge materialization inside ``clusters_from_pairs``.
+      Same operators, same exchanges, ~3 jobs instead of ~10 — the stage
+      checkpoints existed for resumability and metrics, not correctness,
+      and dropping them removes no pass over the data (each stage frame
+      was consumed by exactly one successor).  Requires ``workdir=None``.
     """
     cfg = cfg or DedupConfig()
+    if materialize not in ("stages", "edges"):
+        raise ValueError(f"unknown materialize mode {materialize!r}")
+    if workdir is not None:
+        materialize = "stages"  # resumability implies stage snapshots
     spark = docs.sparkSession
     stager = _Stager(spark, workdir)
+
+    def _stage(name: str, build):
+        if materialize == "stages":
+            return stager.run(name, build)
+        return build()
 
     docs = docs.select(
         F.col(id_col).alias("doc_id").cast("bigint"), F.col(text_col).alias("text")
@@ -203,17 +229,17 @@ def run_pipeline(
     signed = sign_documents(
         docs, text_col="text", cfg=cfg, with_chunk_keys=True
     ).withColumn("partition_id", F.spark_partition_id())
-    banded = stager.run(
+    banded = _stage(
         "01_sign_and_band", lambda: lsh_op.all_candidate_keys(signed, cfg)
     )
-    exact = stager.run(
+    exact = _stage(
         "02_exact_clusters", lambda: exact_op.exact_dup_clusters(docs, "doc_id", "text")
     )
-    candidates = stager.run(
+    candidates = _stage(
         "03_candidate_pairs",
         lambda: lsh_op.candidate_pairs(banded, cfg, strategy=pair_strategy),
     )
-    confirmed = stager.run(
+    confirmed = _stage(
         "04_confirmed_pairs",
         lambda: verify_op.confirm_pairs(
             candidates, docs, cfg, id_col="doc_id", text_col="text",
@@ -232,7 +258,7 @@ def run_pipeline(
         .select("a_id", "b_id")
         .unionByName(exact_edges)
     )
-    clusters = stager.run(
+    clusters = _stage(
         "05_clusters",
         lambda: cluster_op.clusters_from_pairs(docs, edges, id_col="doc_id").orderBy(
             "doc_id"
