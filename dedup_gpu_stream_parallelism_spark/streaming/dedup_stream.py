@@ -224,9 +224,15 @@ class NearDupStream:
             text_col="text",
             cfg=cfg,
         )
-        batch_txt = batch_df.select(
-            F.col("doc_id").cast("bigint").alias("doc_id"), F.col("text")
-        ).localCheckpoint()
+        # batch texts are only consumed on the confirm path — don't pay an
+        # eager checkpoint job per trigger for the probe-only stream
+        batch_txt = (
+            batch_df.select(
+                F.col("doc_id").cast("bigint").alias("doc_id"), F.col("text")
+            ).localCheckpoint()
+            if self.confirm
+            else None
+        )
         banded = (
             lsh_op.band_keys(signed, cfg)
             .withColumn(
@@ -272,9 +278,30 @@ class NearDupStream:
 
             texts_path = self._texts_path()
             if _has_partitions(texts_path):
+                # prune the history read to the id-hash buckets of THIS
+                # batch's matched ids (the band index's bucket partition
+                # trick applied to the text side-index): per-trigger text
+                # I/O tracks the match set, not the stream's lifetime —
+                # previously every trigger scanned the WHOLE novel-texts
+                # history even when matches was tiny
+                match_buckets = [
+                    r["tb"]
+                    for r in matches.select(
+                        F.pmod(
+                            F.xxhash64("matched_id"), F.lit(self.n_buckets)
+                        )
+                        .cast("int")
+                        .alias("tb")
+                    )
+                    .distinct()
+                    .collect()
+                ]
                 all_txt = batch_txt.unionByName(
                     spark.read.parquet(texts_path)
-                    .where(F.col("batch_id") < F.lit(batch_id))
+                    .where(
+                        F.col("tbucket").isin(match_buckets)
+                        & (F.col("batch_id") < F.lit(batch_id))
+                    )
                     .select("doc_id", "text")
                 )
             else:
@@ -294,17 +321,31 @@ class NearDupStream:
             out = matches
         self._write_partitioned(out, self.out_dir, batch_id)
         self._write_partitioned(
-            banded.select("doc_id", "band", "band_key", "bucket"),
+            # one task per bucket → one index file per bucket per batch
+            # (instead of tasks×buckets tiny files; same rows, same layout
+            # the compactor produces)
+            banded.select("doc_id", "band", "band_key", "bucket").repartition(
+                self.n_buckets, "bucket"
+            ),
             path,
             batch_id,
             extra_parts=("bucket",),
         )
         if self.confirm:
             # representative texts only: a doc with a confirmed match never
-            # needs to serve as a verify target (its representative does)
+            # needs to serve as a verify target (its representative does).
+            # Partitioned by id-hash bucket so future probes prune the read.
             dup_ids = out.where(F.col("confirmed") == 1).select("doc_id").distinct()
-            novel = batch_txt.join(dup_ids, "doc_id", "left_anti")
-            self._write_partitioned(novel, self._texts_path(), batch_id)
+            novel = batch_txt.join(dup_ids, "doc_id", "left_anti").withColumn(
+                "tbucket",
+                F.pmod(F.xxhash64("doc_id"), F.lit(self.n_buckets)).cast("int"),
+            )
+            self._write_partitioned(
+                novel.repartition(self.n_buckets, "tbucket"),
+                self._texts_path(),
+                batch_id,
+                extra_parts=("tbucket",),
+            )
         if self.compact_every and batch_id > 0 and batch_id % self.compact_every == 0:
             self.compact(exclude_from=batch_id)
 

@@ -77,12 +77,38 @@ def stage_range_batches(
         n = docs.count()
     per = max(1, -(-n // n_batches))
     os.makedirs(srcdir, exist_ok=True)
+    # ONE job stages every slice (vs n_batches filter+coalesce(1) jobs each
+    # rescanning the source): the slice id is a derived column — exact
+    # integer DIV, so [i*per, (i+1)*per) assignment is bit-identical to the
+    # old range filters — the hash repartition puts each slice value in
+    # exactly one task, and the partitioned write emits exactly one file
+    # per non-empty slice.  sortWithinPartitions keeps file row order
+    # deterministic (ascending ids, like the filtered writes produced).
+    stage = os.path.join(srcdir, "_slices.staging")
+    (
+        docs.withColumn("_slice", F.expr(f"CAST(`{id_col}` DIV {per} AS INT)"))
+        .repartition(n_batches, "_slice")
+        .sortWithinPartitions(id_col)
+        .write.mode("overwrite")
+        .partitionBy("_slice")
+        .parquet(stage)
+    )
     for i in range(n_batches):
-        lo, hi = i * per, (i + 1) * per
-        part = docs.where((F.col(id_col) >= lo) & (F.col(id_col) < hi))
-        _stage_single_file(
-            part, os.path.join(srcdir, f"{i:04d}.parquet"), _mtime_at(i)
+        dst = os.path.join(srcdir, f"{i:04d}.parquet")
+        sdir = os.path.join(stage, f"_slice={i}")
+        files = (
+            [f for f in os.listdir(sdir) if f.endswith(".parquet")]
+            if os.path.isdir(sdir)
+            else []
         )
+        if files:
+            os.replace(os.path.join(sdir, files[0]), dst)
+            os.utime(dst, (_mtime_at(i), _mtime_at(i)))
+        else:
+            # empty id range: still stage a schema-bearing empty file so
+            # the replay fires exactly n_batches triggers
+            _stage_single_file(docs.limit(0), dst, _mtime_at(i))
+    shutil.rmtree(stage)
     return per
 
 
@@ -337,15 +363,14 @@ def stream_window_stats_replay(
     # task.  Materialize the ranked frame once; the per-slice filters then
     # scan parquet instead of re-running the rank pass four times.
     ranked, n, parts = _dense_rank_ids(ev, ["ts", "event_id"])
-    rid_path = os.path.join(workdir, "ranked.parquet")
-    ranked.select("rid", "ts", "event_type", "user_id", "value").write.mode(
-        "overwrite"
-    ).parquet(rid_path)
+    rid = ranked.select("rid", "ts", "event_type", "user_id", "value")
+    srcdir = os.path.join(workdir, "src")
+    # stage straight off the (persisted-parts-backed) ranked frame: the old
+    # intermediate ranked.parquet write + re-read bought nothing — staging
+    # is now a single job either way (stage_range_batches)
+    stage_range_batches(rid, srcdir, n_batches, id_col="rid", n=n)
     max_ts = parts.agg(F.max("ts")).first()[0]
     parts.unpersist()
-    rid = spark.read.parquet(rid_path)
-    srcdir = os.path.join(workdir, "src")
-    stage_range_batches(rid, srcdir, n_batches, id_col="rid", n=n)
     if not n:
         # no events → no windows; nothing for a sentinel to flush
         return spark.createDataFrame(

@@ -498,3 +498,22 @@ def test_shared_staged_docs_stages_once(spark, tmp_path):
     assert src1 == src2
     assert stamps1 == stamps2
     assert "_staged" in stamps1
+
+
+def test_text_history_read_is_bucket_pruned(spark, tmp_path):
+    """confirm=True: the per-trigger history read must partition-prune to
+    the matched ids' tbucket partitions, so text I/O per trigger tracks
+    the match set instead of growing with the stream's lifetime."""
+    b0, b1 = _mini_batches(spark, n=80, split=40)
+    nds = ds.NearDupStream(
+        str(tmp_path / "idx"), str(tmp_path / "out"), confirm=True, n_buckets=8
+    )
+    nds.process_batch(b0, 0)
+    nds.process_batch(b1, 1)
+    txt = spark.read.parquet(nds._texts_path())
+    assert "tbucket" in txt.columns  # store is bucket-partitioned on disk
+    probe = txt.where(F.col("tbucket").isin([0, 1]) & (F.col("batch_id") < 1))
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "tbucket" in plan
+    got = {r["tbucket"] for r in probe.select("tbucket").distinct().collect()}
+    assert got <= {0, 1}
