@@ -82,6 +82,19 @@ def batch_shingle_hashes(
     return flat, starts
 
 
+def batch_shingle_hashes_from_codes(
+    parts: list[np.ndarray], k: int, base: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """``batch_shingle_hashes`` over pre-computed per-doc code arrays —
+    lets a fused caller run ``text_codes`` once and feed every hash stream
+    (BASE1/BASE2 shingles, CDC) from the same arrays."""
+    hs = [shingle_hashes_from_codes(c, k, base) for c in parts]
+    starts = np.zeros(len(hs) + 1, dtype=np.int64)
+    np.cumsum([h.shape[0] for h in hs], out=starts[1:])
+    flat = np.concatenate(hs) if hs else np.empty(0, dtype=np.int64)
+    return flat, starts
+
+
 def _fold_mersenne_inplace(x: np.ndarray) -> None:
     """In-place exact ``x mod MERSENNE`` for ``0 <= x < 2**62``.
 

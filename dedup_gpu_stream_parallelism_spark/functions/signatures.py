@@ -38,25 +38,66 @@ SIGNATURE_FIELDS = (
 CHUNK_KEYS_FIELD = "chunk_keys array<bigint>"
 
 
-def _chunk_keys_of(text, min_chunk_len: int) -> list[int]:
+def _chunk_keys_of(
+    text,
+    min_chunk_len: int,
+    codes: np.ndarray | None = None,
+    raw: bytes | None = None,
+) -> list[int]:
     """Per-doc deduped int64 CDC chunk keys (first 8 bytes of the chunk
-    sha256) — the fused twin of operators.chunk.chunk_keys."""
-    import hashlib
+    sha256) — the fused twin of operators.chunk.chunk_keys.
 
-    from dedup_gpu_stream_parallelism_spark.operators.chunk import chunk_spans
+    ``codes``/``raw`` let ``_sign_batch`` reuse its own symbol-code and
+    utf-8 passes (the old path re-ran ``text_codes`` per doc and re-encoded
+    every chunk slice).  Span math is numpy over the shared code array; the
+    per-chunk sha256 stays a hashlib call (C) over a byte slice.
+    Bit-identical to the chunk_spans walk — pinned by
+    tests/test_fused_hashing.py."""
+    from dedup_gpu_stream_parallelism_spark.operators.chunk import (
+        CDC_MODULUS,
+        CDC_WINDOW,
+    )
 
+    if codes is None:
+        codes = hashing.text_codes(text)
+    n = codes.shape[0]
+    if n == 0:
+        return []
+    if raw is None:
+        raw = text if isinstance(text, (bytes, bytearray)) else text.encode("utf-8")
+    h = hashing.shingle_hashes_from_codes(codes, CDC_WINDOW, BASE1)
+    if h.shape[0]:
+        hit = np.nonzero(h % CDC_MODULUS == 0)[0] + (CDC_WINDOW - 1)
+        cuts = hit[hit < n - 1]
+        starts = np.concatenate(([0], cuts + 1))
+        ends = np.concatenate((cuts + 1, [n]))
+    else:
+        starts = np.array([0], dtype=np.int64)
+        ends = np.array([n], dtype=np.int64)
+    keep = (ends - starts) >= min_chunk_len
     seen: set[int] = set()
     out: list[int] = []
-    for s, e in chunk_spans(text):
-        if e - s < min_chunk_len:
-            continue
-        piece = text[s:e]
-        if not isinstance(piece, (bytes, bytearray)):
-            piece = piece.encode("utf-8")
-        k = int.from_bytes(hashlib.sha256(piece).digest()[:8], "big", signed=True)
-        if k not in seen:
-            seen.add(k)
-            out.append(k)
+    if len(raw) == n:
+        # byte offsets == char offsets (ascii text or raw bytes): hash
+        # slices of the single encoded buffer directly
+        for s, e in zip(starts[keep].tolist(), ends[keep].tolist()):
+            k = int.from_bytes(
+                hashlib.sha256(raw[s:e]).digest()[:8], "big", signed=True
+            )
+            if k not in seen:
+                seen.add(k)
+                out.append(k)
+    else:
+        # non-ascii str: spans are char positions — slice the str, encode
+        for s, e in zip(starts[keep].tolist(), ends[keep].tolist()):
+            k = int.from_bytes(
+                hashlib.sha256(text[s:e].encode("utf-8")).digest()[:8],
+                "big",
+                signed=True,
+            )
+            if k not in seen:
+                seen.add(k)
+                out.append(k)
     return out
 
 
@@ -73,8 +114,20 @@ def _sign_batch(
     # hashing.text_codes)
     raw = pdf[text_col].tolist()
     texts = [v if v is not None else "" for v in raw]
-    flat1, starts = hashing.batch_shingle_hashes(texts, cfg.shingle_k, BASE1)
-    flat2, _ = hashing.batch_shingle_hashes(texts, cfg.shingle_k, BASE2)
+    # ONE symbol-code pass and ONE utf-8 pass per doc, shared by both
+    # shingle streams, the sha256, and the CDC chunk keys (the old path
+    # re-ran text_codes per stream and re-encoded per chunk slice)
+    codes = [hashing.text_codes(t) for t in texts]
+    enc = [
+        t if isinstance(t, (bytes, bytearray)) else t.encode("utf-8")
+        for t in texts
+    ]
+    flat1, starts = hashing.batch_shingle_hashes_from_codes(
+        codes, cfg.shingle_k, BASE1
+    )
+    flat2, _ = hashing.batch_shingle_hashes_from_codes(
+        codes, cfg.shingle_k, BASE2
+    )
     sig = hashing.minhash_signatures(flat1, starts, cfg)
     lo = hashing._segment_bit_votes(flat1, starts)
     hi = hashing._segment_bit_votes(flat2, starts)
@@ -89,12 +142,7 @@ def _sign_batch(
         dtype=np.int64,
     )
     out = (pdf.copy() if keep_text else pdf.drop(columns=[text_col]).copy())
-    out["sha256"] = [
-        hashlib.sha256(
-            t if isinstance(t, (bytes, bytearray)) else t.encode("utf-8")
-        ).hexdigest()
-        for t in texts
-    ]
+    out["sha256"] = [hashlib.sha256(b).hexdigest() for b in enc]
     out["n_chars"] = np.array([len(t) for t in texts], dtype=np.int64)
     out["n_shingles"] = seg_len
     out["n_distinct_shingles"] = n_distinct
@@ -103,7 +151,10 @@ def _sign_batch(
     if with_chunk_keys:
         # fused CDC chunk keys: same text pass, no second Arrow transfer —
         # the reference's integrated-stage fusion (encoder.cpp:760-979)
-        out["chunk_keys"] = [_chunk_keys_of(t, min_chunk_len) for t in texts]
+        out["chunk_keys"] = [
+            _chunk_keys_of(t, min_chunk_len, codes=c, raw=b)
+            for t, c, b in zip(texts, codes, enc)
+        ]
     return out
 
 
