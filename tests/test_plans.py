@@ -99,3 +99,15 @@ def test_cosine_topk_auto_switches_on_index_size(spark, monkeypatch):
     monkeypatch.setattr(sim, "BROADCAST_MAX_ROWS", 10_000_000)
     plan_small = _plan(sim.cosine_topk(emb, k=3, strategy="auto"))
     assert "FlatMapCoGroupsInPandas" not in plan_small
+
+
+def test_signature_fanout_queries_evaluate_the_udf_once(spark):
+    """minhash_jaccard_estimate / simhash_near_dup fan three join branches
+    off the signed frame; the pre-fan-out checkpoint must keep the
+    signature UDF out of the final plan entirely (round-5 verdict #1: the
+    un-checkpointed plan executed the MapInPandas once per branch)."""
+    import __spark_entry__ as e
+
+    for name in ("minhash_jaccard_estimate", "simhash_near_dup"):
+        plan = _plan(e.queries()[name](spark, SF))
+        assert "MapInPandas" not in plan, name
