@@ -142,9 +142,12 @@ def clusters_from_pairs(
         )
         cc = connected_components(touched, edges, id_col=id_col)
 
+    # ``docs`` ids are unique by contract (run_pipeline requires a unique
+    # integer id; the embedding index likewise) — a defensive distinct()
+    # here would cost a full id exchange + aggregation per call at ANY
+    # corpus size for inputs that are already keys.
     return (
         docs.select(F.col(id_col))
-        .distinct()
         .join(F.broadcast(cc) if n_edges <= driver_max_edges else cc, id_col, "left")
         .select(
             id_col, F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id")

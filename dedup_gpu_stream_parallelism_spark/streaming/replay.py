@@ -378,16 +378,40 @@ def stream_window_stats_replay(
             "window_start_epoch bigint, event_type string, "
             "n_events bigint, sum_value_micro bigint",
         )
-    sentinel = spark.createDataFrame(
-        [(int(n), max_ts + timedelta(hours=4), SENTINEL_TYPE, 0, 0.0)],
-        rid.schema,
+    # The sentinel is ONE local row — write its parquet directly with
+    # pyarrow instead of scheduling a Spark job for it.  Schema is cloned
+    # from slice 0 so the file is byte-compatible with the staged slices;
+    # the 48 h margin makes the watermark push robust to any timestamp
+    # interpretation detail (only "past every real window" matters — the
+    # sentinel row itself is filtered out of the result).
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sch = pq.read_schema(os.path.join(srcdir, "0000.parquet"))
+    # Spark reads ``ts`` as TIMESTAMP (tz-adjusted, MICROS); the INT96
+    # slice schema reads back as naive ns, which pyarrow would write as
+    # INT64 nanos — a physical type Spark's vectorized reader rejects.
+    # Force TIMESTAMP_MICROS with isAdjustedToUTC=true.
+    sch = pa.schema(
+        [
+            pa.field(f.name, pa.timestamp("us", tz="UTC"))
+            if pa.types.is_timestamp(f.type)
+            else f
+            for f in sch
+        ]
     )
+    row = {
+        "rid": [int(n)],
+        "ts": [max_ts + timedelta(hours=48)],
+        "event_type": [SENTINEL_TYPE],
+        "user_id": [0],
+        "value": [0.0],
+    }
+    table = pa.Table.from_pydict({f.name: row[f.name] for f in sch}, schema=sch)
     # slot n_batches = strictly newest mtime: processed as the final batch
-    _stage_single_file(
-        sentinel,
-        os.path.join(srcdir, f"{n_batches:04d}.parquet"),
-        _mtime_at(n_batches),
-    )
+    dst = os.path.join(srcdir, f"{n_batches:04d}.parquet")
+    pq.write_table(table, dst)
+    os.utime(dst, (_mtime_at(n_batches), _mtime_at(n_batches)))
 
     stream = (
         spark.readStream.schema(rid.schema)
