@@ -139,10 +139,12 @@ def snapshot_repo() -> tuple[str, str, bool]:
     ).stdout.strip())
     snap = os.path.join("/tmp", f"scaling_snapshot_{commit[:12]}")
     if not os.path.exists(os.path.join(snap, "bench.py")):
-        # extract into a temp dir and rename: an interrupted tar must never
-        # leave a partial snapshot that later runs mistake for a complete one
+        # extract into a per-process temp dir and rename: an interrupted tar
+        # must never leave a partial snapshot that later runs mistake for a
+        # complete one, and two concurrent invocations for the same commit
+        # must not share (or race on) the staging dir
         shutil.rmtree(snap, ignore_errors=True)
-        tmp = snap + ".partial"
+        tmp = f"{snap}.partial.{os.getpid()}"
         shutil.rmtree(tmp, ignore_errors=True)
         os.makedirs(tmp)
         tar = subprocess.run(
@@ -150,7 +152,14 @@ def snapshot_repo() -> tuple[str, str, bool]:
             check=True,
         ).stdout
         subprocess.run(["tar", "-x", "-C", tmp], input=tar, check=True)
-        os.replace(tmp, snap)
+        try:
+            os.replace(tmp, snap)
+        except OSError:
+            # a concurrent invocation completed the snapshot between our
+            # rmtree and rename — accept theirs iff it is complete
+            if not os.path.exists(os.path.join(snap, "bench.py")):
+                raise
+            shutil.rmtree(tmp, ignore_errors=True)
     return snap, commit, dirty
 
 
@@ -203,12 +212,23 @@ def write_round_artifact(payload: dict) -> str:
     clobbering it (the round-5 lesson: the overwrite destroyed the
     two-run variance ledger until restored from a manual backup)."""
     path = round_artifact_path()
-    if os.path.exists(path) and payload.get("kind") != "n_vs_4n":
+    if payload.get("kind") != "n_vs_4n":
         # secondary runs (e.g. --sweep's core_sweep) nest under their kind —
-        # they must never clobber the headline n_vs_4n ledger
-        with open(path) as f:
-            old = json.load(f)
-        old[payload.get("kind") or "extra"] = payload
+        # they must never clobber (or, when they run FIRST, squat on) the
+        # top level, which is reserved for the n_vs_4n ledger.  Repeat runs
+        # of the same kind accumulate as a list instead of replacing.
+        kind = payload.get("kind") or "extra"
+        old = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                old = json.load(f)
+        prev = old.get(kind)
+        if prev is None:
+            old[kind] = payload
+        elif isinstance(prev, list):
+            old[kind] = prev + [payload]
+        else:
+            old[kind] = [prev, payload]
         payload = old
     elif os.path.exists(path) and payload.get("kind") == "n_vs_4n":
         with open(path) as f:
